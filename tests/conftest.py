@@ -1,0 +1,13 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharding
+tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4e)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
