@@ -1,0 +1,312 @@
+"""Building-block Flax modules (NHWC, TPU-friendly).
+
+Re-designed equivalents of the reference building blocks
+(/root/reference/src/models/ebm/encoder_decoder.py:22-420 and
+/root/reference/src/models/custom_layers.py), with torch-matching
+initialization semantics:
+
+* conv kernels: Kaiming-normal fan-in (init_weight.py:52-61 — the solver path
+  always re-initializes with ``init_weights(..., 'kaiming')``); biases zero.
+* transposed-conv kernels: N(0, 0.02) (encoder_decoder.normal_init:16-18 —
+  ConvTranspose2d is NOT matched by the Kaiming pass, which only checks
+  nn.Conv2d, so the N(0,0.02) init survives).
+* BatchNorm: scale ~ N(1.0, 0.02), bias 0, eps 1e-5, torch momentum 0.1
+  (flax momentum 0.9).
+
+Mode protocol: every module takes ``train: bool``. BatchNorm uses batch
+statistics when ``train=True`` and running statistics otherwise. The
+*frozen-stats* mode of the reference (`_disable_tracking_bn_stats`,
+model_util.py:468-510 — batch stats used, running stats not written) is the
+caller's responsibility: apply with ``mutable=['batch_stats']`` and discard
+the updates (see solver.apply_module).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Initializers matching the reference's effective init
+# ---------------------------------------------------------------------------
+
+kaiming_normal_fan_in = jax.nn.initializers.variance_scaling(
+    2.0, "fan_in", "normal")  # torch kaiming_normal_(a=0, mode='fan_in')
+
+
+def normal_002(key, shape, dtype=jnp.float32):
+    return 0.02 * jax.random.normal(key, shape, dtype)
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+LRELU_SLOPE = 0.2
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=LRELU_SLOPE)
+
+
+class Norm2d(nn.Module):
+    """Norm selector: 'batch' (affine BN) or 'instance' (no affine, like
+    torch nn.InstanceNorm2d defaults) or 'none'."""
+
+    kind: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.kind == "batch":
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, scale_init=bn_scale_init)(x)
+        if self.kind == "instance":
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.var(x, axis=(1, 2), keepdims=True)
+            return (x - mean) / jnp.sqrt(var + 1e-5)
+        if self.kind == "none":
+            return x
+        raise ValueError(self.kind)
+
+
+class DomainSpecificNorm2d(nn.Module):
+    """Per-domain BatchNorm (custom_layers.DomainSpecificBatchNorm2d:69-104).
+
+    ``domain_id`` must be a static python int — the reference selects the
+    domain per-branch (clean=0, hard-example=1), which is compile-time
+    constant inside each jitted branch.
+    """
+
+    num_domains: int = 2
+
+    @nn.compact
+    def __call__(self, x, domain_id: int = 0, train: bool = True):
+        norms = [nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, scale_init=bn_scale_init,
+                              name=f"bn_domain{d}")
+                 for d in range(self.num_domains)]
+        if self.is_initializing():
+            # materialize params/stats for every domain, not just the selected one
+            outs = [norm(x) for norm in norms]
+            return outs[domain_id]
+        return norms[domain_id](x)
+
+
+def conv3x3(features: int, use_bias: bool = True, name: str | None = None) -> nn.Conv:
+    return nn.Conv(features, (3, 3), padding=1, use_bias=use_bias,
+                   kernel_init=kaiming_normal_fan_in, name=name)
+
+
+def conv1x1(features: int, use_bias: bool = True, name: str | None = None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), use_bias=use_bias,
+                   kernel_init=kaiming_normal_fan_in, name=name)
+
+
+def upsample2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c),
+                            method="nearest" if method == "NN" or method == "nearest"
+                            else "linear")
+
+
+class Upsampler(nn.Module):
+    """Up-sampling front of res_up_family (encoder_decoder.py:294-310):
+    NN / bilinear resize, or learned transposed conv (Conv2 = 2x2 stride 2,
+    Conv4 = 4x4 stride 2 pad 1). Transposed convs keep the reference's
+    N(0, 0.02) init."""
+
+    up_type: str = "NN"
+    features: int | None = None  # only needed for Conv2/Conv4
+
+    @nn.compact
+    def __call__(self, x):
+        if self.up_type in ("NN", "bilinear"):
+            return upsample2x(x, self.up_type)
+        if self.up_type == "Conv2":
+            return nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                                    padding="VALID", kernel_init=normal_002)(x)
+        if self.up_type == "Conv4":
+            return nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
+                                    padding="SAME", kernel_init=normal_002)(x)
+        raise NotImplementedError(self.up_type)
+
+
+class FixableDropout(nn.Module):
+    """Channel-wise (2D) dropout with an explicit rng stream.
+
+    The reference's Fixable2DDropout (custom_layers.py:9-37) replays its last
+    mask when ``lazy_load`` is toggled so hard-example passes see the same
+    mask. With explicit keys, replay = passing the same 'dropout' rng; the
+    solver threads one dropout key per optimization step.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        if self.rate == 0.0 or deterministic:
+            return x
+        key = self.make_rng("dropout")
+        n, _, _, c = x.shape
+        keep = jax.random.bernoulli(key, 1.0 - self.rate, shape=(n, 1, 1, c))
+        return jnp.where(keep, x / (1.0 - self.rate), 0.0)
+
+
+class ResConvDown(nn.Module):
+    """Strided-conv residual down block (encoder_decoder.res_convdown:22-74):
+    down-conv(s2) -> [conv3-norm-lrelu-conv3-norm] + 1x1(skip) -> lrelu
+    -> optional 2D dropout."""
+
+    out_ch: int
+    norm: str = "batch"
+    dropout: Optional[float] = None
+    num_domains: int = 1  # >1 => domain-specific BN (ds_res_convdown:360-420)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, domain_id: int = 0,
+                 deterministic_dropout: bool = False):
+        in_ch = x.shape[-1]
+
+        def make_norm(name):
+            if self.num_domains > 1:
+                ds = DomainSpecificNorm2d(self.num_domains, name=name)
+                return lambda v: ds(v, domain_id=domain_id, train=train)
+            n2d = Norm2d(self.norm, name=name)
+            return lambda v: n2d(v, train=train)
+
+        x = nn.Conv(in_ch, (3, 3), strides=(2, 2), padding=1,
+                    kernel_init=kaiming_normal_fan_in, name="down")(x)
+        h = conv3x3(self.out_ch, name="conv1")(x)
+        h = make_norm("norm1")(h)
+        h = lrelu(h)
+        h = conv3x3(self.out_ch, name="conv2")(h)
+        h = make_norm("norm2")(h)
+        res = conv1x1(self.out_ch, name="conv_input")(x) + h
+        res = lrelu(res)
+        if self.dropout is not None:
+            res = FixableDropout(self.dropout)(res, deterministic=deterministic_dropout)
+        return res
+
+
+class ResUp(nn.Module):
+    """Residual up block (encoder_decoder.res_up_family:289-357):
+    upsample -> [conv3-norm-lrelu-conv3-norm] + 1x1(skip) -> lrelu
+    -> optional dropout."""
+
+    out_ch: int
+    up_type: str = "NN"
+    norm: str = "batch"
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
+        in_ch = x.shape[-1]
+        x = Upsampler(self.up_type, features=in_ch, name="up")(x)
+        h = conv3x3(self.out_ch, name="conv1")(x)
+        h = Norm2d(self.norm, name="norm1")(h, train=train)
+        h = lrelu(h)
+        h = conv3x3(self.out_ch, name="conv2")(h)
+        h = Norm2d(self.norm, name="norm2")(h, train=train)
+        res = conv1x1(self.out_ch, name="conv_input")(x) + h
+        res = lrelu(res)
+        if self.dropout is not None:
+            res = FixableDropout(self.dropout)(res, deterministic=deterministic_dropout)
+        return res
+
+
+class InConv(nn.Module):
+    """Input stem of MyEncoder (encoder_decoder.py:440-446):
+    conv3-norm-lrelu-conv3-norm (the trailing lrelu is applied by the
+    caller, matching the reference forward at :470-471)."""
+
+    out_ch: int
+    norm: str = "batch"
+    num_domains: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, domain_id: int = 0):
+        def make_norm(name):
+            if self.num_domains > 1:
+                ds = DomainSpecificNorm2d(self.num_domains, name=name)
+                return lambda v: ds(v, domain_id=domain_id, train=train)
+            n2d = Norm2d(self.norm, name=name)
+            return lambda v: n2d(v, train=train)
+
+        x = conv3x3(self.out_ch, name="conv1")(x)
+        x = make_norm("norm1")(x)
+        x = lrelu(x)
+        x = conv3x3(self.out_ch, name="conv2")(x)
+        x = make_norm("norm2")(x)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """Channel SE block (custom_layers.ChannelSELayer:107-137)."""
+
+    reduction: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.relu(nn.Dense(c // self.reduction, kernel_init=kaiming_normal_fan_in)(s))
+        s = nn.sigmoid(nn.Dense(c, kernel_init=kaiming_normal_fan_in)(s))
+        return x * s[:, None, None, :]
+
+
+class SpatialSqueezeExcite(nn.Module):
+    """Spatial SE (sSE; custom_layers.SpatialSELayer:140-160)."""
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.sigmoid(conv1x1(1)(x))
+        return x * s
+
+
+class ChannelSpatialSqueezeExcite(nn.Module):
+    """scSE = max(cSE, sSE) (custom_layers.ChannelSpatialSELayer:163-178)."""
+
+    reduction: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.maximum(SqueezeExcite(self.reduction)(x),
+                           SpatialSqueezeExcite()(x))
+
+
+class SelfAttention2d(nn.Module):
+    """SAGAN-style self-attention (custom_layers.Self_Attn:214-254) with a
+    learnable gamma gate initialized at zero."""
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        q = conv1x1(max(c // 8, 1), name="query")(x).reshape(n, h * w, -1)
+        k = conv1x1(max(c // 8, 1), name="key")(x).reshape(n, h * w, -1)
+        v = conv1x1(c, name="value")(x).reshape(n, h * w, c)
+        attn = jax.nn.softmax(jnp.einsum("nqd,nkd->nqk", q, k,
+                                         preferred_element_type=jnp.float32), axis=-1)
+        out = jnp.einsum("nqk,nkc->nqc", attn, v).reshape(n, h, w, c)
+        gamma = self.param("gamma", jax.nn.initializers.zeros, ())
+        return gamma * out + x
+
+
+class AdaptiveBatchInstanceNorm(nn.Module):
+    """Batch-Instance norm with learnable clamped gate rho
+    (custom_layers.BatchInstanceNorm:331-388)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = x.shape[-1]
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, use_bias=False, use_scale=False)(x)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        inorm = (x - mean) / jnp.sqrt(var + 1e-5)
+        rho = jnp.clip(self.param("rho", jax.nn.initializers.ones, (c,)), 0.0, 1.0)
+        gamma = self.param("gamma", jax.nn.initializers.ones, (c,))
+        beta = self.param("beta", jax.nn.initializers.zeros, (c,))
+        return (rho * bn + (1.0 - rho) * inorm) * gamma + beta

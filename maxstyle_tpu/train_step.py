@@ -1,0 +1,138 @@
+"""Single-program training step composition.
+
+One jitted function reproduces one iteration of the reference training loop
+(train_adv_supervised_segmentation_triplet.py:158-541): input-noise
+injection, standard triplet training, plus every method branch enabled by the
+config flags (train_adv…:134-141). Branch enablement is *static* — each
+experiment config compiles its own XLA program with exactly the enabled
+branches, no runtime dispatch.
+
+Loss channel names mirror the reference's TensorBoard keys
+(train_adv…:152-153) so dashboards line up 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from maxstyle_tpu import losses, prng
+from maxstyle_tpu.config import ExperimentConfig
+from maxstyle_tpu.ops.intensity import rescale_intensity, z_score_intensity
+from maxstyle_tpu.solver import TrainState, TripletSegmentationSolver
+
+LOSS_KEYS = (
+    "loss/standard/total", "loss/standard/seg", "loss/standard/image",
+    "loss/standard/shape", "loss/standard/gt_shape",
+    "loss/hard/total", "loss/hard/seg", "loss/hard/image", "loss/hard/shape",
+    "loss/hard/rand_conv", "loss/hard/RSC", "loss/hard/mix_style",
+    "loss/hard/DSU", "loss/hard/adv_noise", "loss/hard/adv_bias",
+)
+
+
+def add_input_noise(clean_image: jnp.ndarray, key: jax.Array,
+                    intensity_norm_type: str) -> jnp.ndarray:
+    """Denoising-autoencoder input corruption (train_adv…:179-186):
+    +0.05*N(0,1), then clamp to the clean batch's global [min, max]
+    (min_max) or re-instance-normalize (z_score)."""
+    noise = 0.05 * jax.random.normal(key, clean_image.shape, clean_image.dtype)
+    noisy = clean_image + noise
+    if intensity_norm_type == "min_max":
+        return jnp.clip(noisy, jnp.min(clean_image), jnp.max(clean_image))
+    if intensity_norm_type == "z_score":
+        # F.instance_norm with eps=1e-5
+        mean = jnp.mean(noisy, axis=(1, 2), keepdims=True)
+        var = jnp.var(noisy, axis=(1, 2), keepdims=True)
+        return (noisy - mean) / jnp.sqrt(var + 1e-5)
+    raise ValueError(intensity_norm_type)
+
+
+def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True):
+    """Build the per-iteration update for the solver's config.
+
+    `jit_compile=False` returns the raw python function so callers can apply
+    their own jit with explicit shardings (parallel.mesh.shard_train_step).
+    """
+    cfg = solver.config
+    L = cfg.learning
+    intensity_norm_type = cfg.data.intensity_norm_type
+
+    from maxstyle_tpu import train_step_branches as br
+    requested = {name for name in ("latent_DA", "rand_conv", "RSC", "mix_style",
+                                   "DSU", "adv_noise", "adv_bias")
+                 if getattr(L, name)}
+    unsupported = requested - br.SUPPORTED
+    if unsupported:
+        raise NotImplementedError(f"method branches not yet wired: {sorted(unsupported)}")
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        clean_image = batch["image"]          # [N,H,W,C] aug+orig concat
+        label = batch["label"].astype(jnp.int32)  # [N,H,W]
+        k = prng.split_dict(rng, ("noise", "maxstyle", "dropout", "branches"))
+        image_n = add_input_noise(clean_image, k["noise"], intensity_norm_type)
+        rngs = {"dropout": k["dropout"]}
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        def loss_fn(params):
+            m = {key: jnp.zeros(()) for key in LOSS_KEYS}
+            (seg_l, img_l, gt_l, shape_l), aux, stats = solver.standard_training(
+                params, state.batch_stats, clean_image, label, image_n,
+                mode="train", compute_gt_recon=True, rngs=rngs)
+            standard_loss = seg_l + img_l + shape_l + gt_l
+            m["loss/standard/total"] = standard_loss
+            m["loss/standard/seg"] = seg_l
+            m["loss/standard/image"] = img_l
+            m["loss/standard/shape"] = shape_l
+            m["loss/standard/gt_shape"] = gt_l
+            total = standard_loss
+
+            if L.max_style:
+                stylized = solver.generate_max_style_image(
+                    params, stats, aux.z_i,
+                    reference_segmentation=label, ms_cfg=cfg.max_style,
+                    rng=k["maxstyle"], rngs=rngs)
+                (h_seg, h_rec, h_shape1, h_shape2), stats = \
+                    solver.hard_example_training(
+                        params, stats, stylized, clean_image, label,
+                        perturbed_seg=None,
+                        standard_input_image=jax.lax.stop_gradient(image_n),
+                        standard_recon_image=aux.recon_image, rngs=rngs)
+                ms_loss = h_rec + h_seg + h_shape1 + h_shape2
+                m["loss/hard/total"] += ms_loss
+                m["loss/hard/seg"] += h_seg
+                m["loss/hard/image"] += h_rec
+                m["loss/hard/shape"] += h_shape1 + h_shape2
+                total = total + ms_loss
+
+            extra = 0.0
+            from maxstyle_tpu import train_step_branches as br
+            extra = br.apply_enabled_branches(
+                solver, L, cfg, params, stats, aux,
+                clean_image=clean_image, image_n=image_n, label=label,
+                rng=k["branches"], rngs=rngs, metrics=m)
+            total = total + extra
+
+            return total, (m, stats)
+
+        (total, (m, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        new_params = dict(state.params)
+        new_opt_states = dict(state.opt_states)
+        for name in state.params:
+            updates, new_opt_states[name] = solver.tx.update(
+                grads[name], state.opt_states[name], state.params[name])
+            new_params[name] = optax.apply_updates(state.params[name], updates)
+
+        m["loss/total"] = total
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_states=new_opt_states, step=state.step + 1)
+        return new_state, m
+
+    if jit_compile:
+        return jax.jit(step, donate_argnums=(0,))
+    return step
