@@ -1,0 +1,312 @@
+"""On-device batched data augmentation (jit/vmap, NHWC).
+
+TPU-first replacement of the reference's per-slice CPU torchsample pipeline
+(/root/reference/src/dataset_loader/transform.py:46-111 and
+dataset_loader/_utils/{affine,elastic,intensity}_transform.py), which SURVEY
+§3.2 identifies as a notorious input bottleneck (order-3 scipy
+map_coordinates per label class per slice). Here the whole geometric chain —
+random affine (rotation/translation/shear/zoom), 45-degree group rotation,
+flips, random crop — composes into ONE inverse warp per sample (single
+gather instead of four sequential interpolations), and the elastic
+displacement field is synthesized in Fourier space (gaussian smoothing of a
+uniform noise field = one rfft2/irfft2 round trip, any traced sigma, no
+giant conv kernels).
+
+Interpolation notes vs the reference: images are sampled bilinearly and
+labels nearest-neighbour, whereas the reference uses order-3 splines
+(bilinear+nearest for its affine, per-class order-3 for elastic). This is a
+deliberate statistical-parity choice (SURVEY §7 hard part 5): exact RNG
+streams can't match PyTorch anyway, and bilinear warps of 1-channel MR
+slices are visually and statistically indistinguishable for training.
+
+Aug policy registry mirrors transform.Transformations (:15-42) including the
+headline policies `ACDC_affine_elastic_intensity` (flip p=0.2 h+v,
+rotate ±15°, zoom (0.8,1.1), 45° rotation groups, elastic p=0.5,
+brightness/contrast p=0.5) and `Prostate_affine_elastic_intensity`
+(flip p=0.5, shift 0.1, rotate ±15°, zoom (0.8,1.2), elastic p=0.5,
+intensity p=0.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugPolicy:
+    pad_hw: Tuple[int, int] = (224, 224)
+    crop_hw: Tuple[int, int] = (192, 192)
+    rotate_deg: float = 0.0
+    shift_frac: Tuple[float, float] = (0.0, 0.0)
+    shear_deg: float = 0.0
+    zoom_range: Tuple[float, float] = (1.0, 1.0)
+    flip_h: bool = False
+    flip_v: bool = False
+    flip_p: float = 0.0
+    rotate_groups: Tuple[float, ...] = ()   # e.g. multiples of 45°
+    elastic_prob: float = 0.0
+    elastic_alpha_range: Tuple[float, float] = (1.5, 2.0)   # x H
+    elastic_sigma_range: Tuple[float, float] = (0.075, 0.15)  # x H (=0.1..0.2 * 3/4)
+    intensity_prob: float = 0.0
+    contrast_range: Tuple[float, float] = (0.8, 1.2)
+    brightness_range: Tuple[float, float] = (-0.1, 0.1)
+    bias_field_prob: float = 0.0
+    bias_field_magnitude: float = 0.2
+    noise_epsilon: float = 0.0
+
+
+def no_aug(pad_hw, crop_hw) -> AugPolicy:
+    return AugPolicy(pad_hw=tuple(pad_hw), crop_hw=tuple(crop_hw))
+
+
+def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
+    """Aug-policy registry (transform.py:15-42 + per-policy configs
+    :113-215)."""
+    base = no_aug(pad_hw, crop_hw)
+    acdc_affine = dataclasses.replace(
+        base, flip_h=True, flip_v=True, flip_p=0.2, rotate_deg=15.0,
+        zoom_range=(0.8, 1.1), rotate_groups=tuple(45.0 * i for i in range(8)))
+    table = {
+        "no_aug": base,
+        "affine": dataclasses.replace(base, shift_frac=(0.1, 0.1),
+                                      rotate_deg=15.0, zoom_range=(0.9, 1.1)),
+        "scale": dataclasses.replace(base, zoom_range=(0.8, 1.2)),
+        "elastic": dataclasses.replace(base, elastic_prob=0.5),
+        "ACDC_affine": acdc_affine,
+        "ACDC_affine_intensity": dataclasses.replace(acdc_affine, intensity_prob=0.5),
+        "ACDC_affine_elastic": dataclasses.replace(acdc_affine, elastic_prob=0.5),
+        "ACDC_affine_elastic_intensity": dataclasses.replace(
+            acdc_affine, intensity_prob=0.5, elastic_prob=0.5),
+        "ACDC_affine_elastic_bias": dataclasses.replace(
+            acdc_affine, elastic_prob=0.5, bias_field_prob=0.5),
+        "ACDC_affine_all": dataclasses.replace(
+            acdc_affine, elastic_prob=0.5, intensity_prob=0.5, bias_field_prob=0.5),
+        "Prostate_affine_elastic_intensity": dataclasses.replace(
+            base, flip_h=True, flip_v=True, flip_p=0.5, shift_frac=(0.1, 0.1),
+            rotate_deg=15.0, zoom_range=(0.8, 1.2), intensity_prob=0.5,
+            elastic_prob=0.5),
+        "UKBB_affine_elastic_intensity_aug": dataclasses.replace(
+            acdc_affine, intensity_prob=0.5, elastic_prob=0.5),
+    }
+    if name not in table:
+        raise KeyError(f"unknown aug policy {name}; have {sorted(table)}")
+    return table[name]
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+
+def _affine_matrix(key: jax.Array, p: AugPolicy) -> jnp.ndarray:
+    """Inverse (target->source) 2x3 matrix composing: random affine
+    (rotation/shift/shear/zoom), optional flips, optional 45°-group
+    rotation. Centered coordinates."""
+    ks = jax.random.split(key, 8)
+    deg2rad = jnp.pi / 180.0
+
+    theta = jax.random.uniform(ks[0], minval=-p.rotate_deg, maxval=p.rotate_deg) * deg2rad
+    shear = jax.random.uniform(ks[1], minval=-p.shear_deg, maxval=p.shear_deg) * deg2rad
+    zy = jax.random.uniform(ks[2], minval=p.zoom_range[0], maxval=p.zoom_range[1])
+    zx = jax.random.uniform(ks[3], minval=p.zoom_range[0], maxval=p.zoom_range[1])
+    ty = jax.random.uniform(ks[4], minval=-p.shift_frac[0], maxval=p.shift_frac[0])
+    tx = jax.random.uniform(ks[5], minval=-p.shift_frac[1], maxval=p.shift_frac[1])
+
+    if p.rotate_groups:
+        groups = jnp.asarray(p.rotate_groups)
+        gi = jax.random.randint(ks[6], (), 0, len(p.rotate_groups))
+        theta = theta + groups[gi] * deg2rad
+
+    fh = fv = 1.0
+    if p.flip_h or p.flip_v:
+        kf1, kf2 = jax.random.split(ks[7])
+        if p.flip_h:
+            fh = jnp.where(jax.random.uniform(kf1) < p.flip_p, -1.0, 1.0)
+        if p.flip_v:
+            fv = jnp.where(jax.random.uniform(kf2) < p.flip_p, -1.0, 1.0)
+
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # forward: scale @ shear @ rot (+flip); we build the inverse directly by
+    # inverting the 2x2 and negating the translation.
+    fwd = jnp.array([[zy * cos, -zy * (sin + shear)],
+                     [zx * (sin + shear), zx * cos]])
+    fwd = fwd @ jnp.array([[fv, 0.0], [0.0, fh]])
+    inv = jnp.linalg.inv(fwd)
+    t = jnp.array([ty * p.pad_hw[0], tx * p.pad_hw[1]])
+    inv_t = -inv @ t
+    return jnp.concatenate([inv, inv_t[:, None]], axis=1)  # [2,3]
+
+
+def _fft_gaussian_field(key: jax.Array, hw: Tuple[int, int], sigma: jnp.ndarray,
+                        alpha: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two smooth displacement fields: gaussian-smoothed U(-1,1) noise x
+    alpha (elastic_transform.gen_deformation_field:42-57), smoothing done in
+    Fourier space so sigma may be a traced scalar."""
+    h, w = hw
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (2, h, w), minval=-1.0, maxval=1.0)
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.rfftfreq(w)[None, :]
+    # continuous FT of a gaussian: exp(-2 pi^2 sigma^2 f^2)
+    transfer = jnp.exp(-2.0 * (jnp.pi ** 2) * (sigma ** 2) * (fy ** 2 + fx ** 2))
+    sm = jnp.fft.irfft2(jnp.fft.rfft2(u) * transfer[None], s=(h, w))
+    # scipy's gaussian_filter is normalized (sum=1); FFT transfer already is.
+    return sm[0] * alpha, sm[1] * alpha
+
+
+def _sample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                     fill: float = 0.0) -> jnp.ndarray:
+    """img [H,W]; coords float [h,w] -> [h,w] with zero fill outside."""
+    h, w = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    inside = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    return jnp.where(inside, out, fill)
+
+
+def _sample_nearest(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                    fill: float = 0.0) -> jnp.ndarray:
+    h, w = img.shape
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+    out = img[yi, xi]
+    inside = (ys >= -0.5) & (ys <= h - 0.5) & (xs >= -0.5) & (xs <= w - 0.5)
+    return jnp.where(inside, out, fill)
+
+
+def _percentile_minmax(img: jnp.ndarray, lo: float = 0.0, hi: float = 100.0,
+                       eps: float = 1e-20) -> jnp.ndarray:
+    """MyNormalizeMedicPercentile with thresholds (0,100) == per-slice
+    min-max to [0,1] (intensity_transform.py:216-271)."""
+    if lo <= 0.0 and hi >= 100.0:
+        mn, mx = jnp.min(img), jnp.max(img)
+    else:
+        mn = jnp.percentile(img, lo)
+        mx = jnp.percentile(img, hi)
+    return jnp.clip((img - mn) / (mx - mn + eps), 0.0, 1.0)
+
+
+def _bias_field(key: jax.Array, hw: Tuple[int, int], magnitude: float,
+                control_spacing: int = 32) -> jnp.ndarray:
+    """Smooth multiplicative bias field (MyRandomPurtarbationV2 b-spline
+    field, intensity_transform.py:375-548): coarse U(-1,1) control grid
+    bicubically upsampled, scaled to +-magnitude around 1."""
+    h, w = hw
+    gh, gw = max(h // control_spacing, 2), max(w // control_spacing, 2)
+    cp = jax.random.uniform(key, (gh, gw), minval=-1.0, maxval=1.0)
+    field = jax.image.resize(cp, (h, w), method="bicubic")
+    mx = jnp.max(jnp.abs(field)) + 1e-10
+    return 1.0 + magnitude * field / mx
+
+
+def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
+                 policy: AugPolicy) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One (image [H,W], label [H,W]) pair -> cropped augmented pair
+    ([h,w], [h,w])."""
+    p = policy
+    H, W = p.pad_hw
+    h, w = p.crop_hw
+    keys = jax.random.split(key, 9)
+
+    mat = _affine_matrix(keys[0], p)
+
+    # crop offset in padded frame (uniform like ts.RandomCrop)
+    oy = jax.random.randint(keys[1], (), 0, H - h + 1)
+    ox = jax.random.randint(keys[2], (), 0, W - w + 1)
+
+    ty = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + oy
+    tx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + ox
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ty_c, tx_c = ty - cy, tx - cx
+    sy = mat[0, 0] * ty_c + mat[0, 1] * tx_c + mat[0, 2] + cy
+    sx = mat[1, 0] * ty_c + mat[1, 1] * tx_c + mat[1, 2] + cx
+
+    # elastic displacement (added in source space)
+    if p.elastic_prob > 0:
+        do_el = jax.random.uniform(keys[3]) < p.elastic_prob
+        alpha = H * jax.random.uniform(keys[4], minval=p.elastic_alpha_range[0],
+                                       maxval=p.elastic_alpha_range[1])
+        sigma = H * jax.random.uniform(keys[5], minval=p.elastic_sigma_range[0],
+                                       maxval=p.elastic_sigma_range[1])
+        dy_full, dx_full = _fft_gaussian_field(keys[6], (H, W), sigma, alpha)
+        gate = jnp.where(do_el, 1.0, 0.0)
+        # displacement looked up at the (pre-affine) target positions
+        dy = _sample_bilinear(dy_full, ty, tx) * gate
+        dx = _sample_bilinear(dx_full, ty, tx) * gate
+        sy = sy + dy
+        sx = sx + dx
+
+    img = _sample_bilinear(image, sy, sx)
+    lab = _sample_nearest(label.astype(jnp.float32), sy, sx).astype(jnp.int32)
+
+    # intensity: contrast/brightness fluctuation
+    # (RandomBrightnessFluctuation, intensity_transform.py:114-162)
+    if p.intensity_prob > 0:
+        k_gate, k_c, k_b = jax.random.split(keys[7], 3)
+        do_int = jax.random.uniform(k_gate) < p.intensity_prob
+        c = jax.random.uniform(k_c, minval=p.contrast_range[0],
+                               maxval=p.contrast_range[1])
+        b = jax.random.uniform(k_b, minval=p.brightness_range[0],
+                               maxval=p.brightness_range[1])
+        img = jnp.where(do_int, c * img + b, img)
+
+    if p.bias_field_prob > 0:
+        k_gate, k_field = jax.random.split(keys[8])
+        do_bias = jax.random.uniform(k_gate) < p.bias_field_prob
+        field = _bias_field(k_field, (h, w), p.bias_field_magnitude)
+        img = jnp.where(do_bias, img * field, img)
+
+    img = _percentile_minmax(img)
+    return img, lab
+
+
+def center_crop_norm(image: jnp.ndarray, label: Optional[jnp.ndarray],
+                     crop_hw: Tuple[int, int], normalize: bool = True):
+    """The 'norm' pipeline (transform.py:89-96): center crop + min-max —
+    used for the kept-original pair and for validation."""
+    H, W = image.shape
+    h, w = crop_hw
+    oy, ox = (H - h) // 2, (W - w) // 2
+    img = jax.lax.dynamic_slice(image, (oy, ox), (h, w))
+    if normalize:
+        img = _percentile_minmax(img)
+    lab = None
+    if label is not None:
+        lab = jax.lax.dynamic_slice(label, (oy, ox), (h, w)).astype(jnp.int32)
+    return img, lab
+
+
+@partial(jax.jit, static_argnames=("policy",))
+def augment_batch(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
+                  policy: AugPolicy):
+    """[N,H,W] padded slices -> ([N,h,w,1] float, [N,h,w] int) augmented."""
+    keys = jax.random.split(key, images.shape[0])
+    img, lab = jax.vmap(lambda k, i, l: augment_pair(k, i, l, policy))(
+        keys, images.astype(jnp.float32), labels)
+    return img[..., None], lab
+
+
+@partial(jax.jit, static_argnames=("crop_hw", "normalize"))
+def norm_batch(images: jnp.ndarray, labels: jnp.ndarray,
+               crop_hw: Tuple[int, int], normalize: bool = True):
+    """[N,H,W] -> center-cropped normalized ([N,h,w,1], [N,h,w])."""
+    img, lab = jax.vmap(lambda i, l: center_crop_norm(i, l, crop_hw, normalize))(
+        images.astype(jnp.float32), labels)
+    return img[..., None], lab

@@ -415,6 +415,111 @@ class TripletSegmentationSolver:
         return sg(recon)
 
     # ------------------------------------------------------------------
+    # MixStyle / DSU encoder replay (advanced_triplet…:632-670)
+    # ------------------------------------------------------------------
+
+    def generate_style_augmented_latent_code(self, params, stats, image, *,
+                                             layers_indexes=(1, 2, 3),
+                                             mix: str = "random", p: float = 0.5,
+                                             lmda=None, rng: jax.Array, rngs=None):
+        """Replay the encoder with MixStyle/DSU injected after the chosen
+        layers (1=after stem, 2..5=after down1..4, 6=after final act), BN
+        stats frozen; returns (z_i, z_s)."""
+        x = jax.lax.stop_gradient(image)
+        cfg = ms.MixStyleConfig(p=p, alpha=0.1, mix=mix, lmda=lmda)
+        enc = self.modules["image_encoder"]
+
+        def make_hook(idx):
+            k = jax.random.fold_in(rng, idx)
+
+            def hook(v):
+                return ms.apply_mixstyle(k, v, cfg)
+            return hook
+
+        style_fns = {i: make_hook(i) for i in layers_indexes}
+        z, _ = self.apply_module("image_encoder", params, stats, x,
+                                 mode="frozen", method=enc.encode,
+                                 style_fns=style_fns, rngs=rngs)
+        (z_i, z_s), _ = self.filter_code(params, stats, z, mode="frozen", rngs=rngs)
+        return z_i, z_s
+
+    # ------------------------------------------------------------------
+    # latent-space hard example generation (LSM; advanced_triplet…:788-841)
+    # ------------------------------------------------------------------
+
+    def hard_example_generation(self, params, stats, clean_image, label,
+                                z_i, z_s, *, lda_cfg, rng: jax.Array, rngs=None):
+        """Mask z_i -> decode corrupted image; mask z_s -> decode corrupted
+        segmentation (both with frozen BN stats). Returns
+        (perturbed_image or None, perturbed_seg or None)."""
+        from maxstyle_tpu.ops import latent_masking as lm
+        sg = jax.lax.stop_gradient
+        p_sg = jax.tree_util.tree_map(sg, params)
+        perturbed_image = None
+        perturbed_seg = None
+        k_img, k_seg = jax.random.split(rng)
+
+        if lda_cfg.mask_image_code and self.spec.has_image_recon:
+            c = lda_cfg.image_code
+
+            def dec_img(code):
+                out, _ = self.decode("image_decoder", p_sg, stats, code,
+                                     mode="frozen", rngs=rngs)
+                return out
+
+            masked, _ = lm.perturb_latent_code(
+                sg(z_i), dec_img, sg(clean_image), num_classes=self.num_classes,
+                perturb_type=c.mask_type, threshold=c.max_threshold,
+                if_soft=c.if_soft, random_threshold=c.random_threshold,
+                loss_type=c.loss_name, if_detach=True, key=k_img)
+            perturbed_image, _ = self.decode("image_decoder", p_sg, stats,
+                                             sg(masked), mode="frozen", rngs=rngs)
+            perturbed_image = sg(perturbed_image)
+
+        if lda_cfg.mask_shape_code:
+            c = lda_cfg.shape_code
+
+            def dec_seg(code):
+                out, _ = self.decode("segmentation_decoder", p_sg, stats, code,
+                                     mode="frozen", rngs=rngs)
+                return out
+
+            masked, _ = lm.perturb_latent_code(
+                sg(z_s), dec_seg, label, num_classes=self.num_classes,
+                perturb_type=c.mask_type, threshold=c.max_threshold,
+                if_soft=c.if_soft, random_threshold=c.random_threshold,
+                loss_type=c.loss_name, if_detach=True, key=k_seg)
+            perturbed_seg, _ = self.decode("segmentation_decoder", params, stats,
+                                           sg(masked), mode="frozen", rngs=rngs)
+        return perturbed_image, perturbed_seg
+
+    # ------------------------------------------------------------------
+    # full forward (advanced_triplet…run:310-328)
+    # ------------------------------------------------------------------
+
+    def run(self, params, stats, image, *, mode: str = "train",
+            normalize_input: bool = False, rngs=None):
+        """Returns (recon_image, init_predict, refined_predict, stats)."""
+        if normalize_input:
+            norm = intensity_norm_fn(self.config.data.intensity_norm_type)
+            image = norm(image)
+        (z_i, z_s), stats = self.encode_image(params, stats, image, mode=mode,
+                                              rngs=rngs)
+        y0, stats = self.decode("segmentation_decoder", params, stats, z_s,
+                                mode=mode, rngs=rngs)
+        recon = None
+        if self.spec.has_image_recon:
+            recon, stats = self.decode("image_decoder", params, stats, z_i,
+                                       mode=mode, rngs=rngs)
+        refined = y0
+        if self.spec.has_stn:
+            refined, stats = self.recon_shape(params, stats, y0,
+                                              is_label_map=False, image=image,
+                                              recon_image=recon, mode=mode,
+                                              rngs=rngs)
+        return recon, y0, refined, stats
+
+    # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
 

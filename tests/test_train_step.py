@@ -65,14 +65,17 @@ class TestStandardTraining:
         cfg = small_config()
         solver = TripletSegmentationSolver(cfg)
         state = solver.init_state(jax.random.key(0), (64, 64), batch_size=4)
-        before = jax.tree_util.tree_leaves(state.batch_stats)
+        # snapshot to host first: the jitted step donates its input state
+        before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.batch_stats)]
         step = make_train_step(solver)
         state2, _ = step(state, synthetic_batch(jax.random.key(1)),
                          jax.random.key(2))
-        after = jax.tree_util.tree_leaves(state2.batch_stats)
-        assert any(float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(before, after))
+        after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state2.batch_stats)]
+        assert any(np.abs(a - b).max() > 0 for a, b in zip(before, after))
 
-    def test_unwired_branch_raises(self):
+    def test_unwired_branch_raises(self, monkeypatch):
+        from maxstyle_tpu import train_step_branches as br
+        monkeypatch.setattr(br, "SUPPORTED", br.SUPPORTED - {"rand_conv"})
         cfg = small_config(rand_conv=True)
         solver = TripletSegmentationSolver(cfg)
         with pytest.raises(NotImplementedError):
