@@ -1,0 +1,215 @@
+"""Volumetric evaluation harness (patient-wise OOD benchmark).
+
+Redesign of /root/reference/src/test_basic_segmentation_solver.py:31-244
+(`TestSegmentationNetwork`) + the dataset wiring of
+test_ACDC_triplet_segmentation.py:27-182 and test_prostate_segmentation.py
+:25-98:
+
+* per patient: volume -> fixed-size slice chunks -> jitted predict ->
+  argmax -> per-patient Dice[/HD/ASD] with voxel spacing -> CSV reports
+  (`iter_1_summary.csv` / `iter_1_detailed.csv` per dataset,
+  `dataset_summary.csv` aggregate).
+* chunking pads the last chunk to the fixed chunk size so the predict
+  function compiles exactly once per (chunk, H, W) shape — the reference's
+  variable-size chunks (test_basic…:139-157) would trigger an XLA
+  recompile per patient.
+* test-set registry: ACDC + artefacted variants + MSCMRSeg C0/LGE + M&M +
+  UKBB (cardiac; test_ACDC…get_testset:39-126) and the 7 prostate sites
+  A-ISBI..G-MedicalDecathlon (test_prostate…:25-98); roots are
+  configurable instead of hard-coded.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxstyle_tpu.data.datasets import SliceDataset, build_general_dataset
+from maxstyle_tpu.metrics import SegmentationScore
+
+CARDIAC_TEST_SUITES = ["ACDC", "RandomBias", "RandomSpike", "RandomMotion",
+                       "RandomGhosting", "MSCMRSeg_C0", "MSCMRSeg_LGE", "MM",
+                       "UKBB"]
+PROSTATE_TEST_SITES = ["G-MedicalDecathlon", "E-BIDMC", "F-HK", "A-ISBI",
+                       "B-ISBI_1.5", "C-I2CVB", "D-UCL"]
+
+CARDIAC_CLASS_NAMES = ["LV", "MYO", "RV"]
+PROSTATE_CLASS_NAMES = ["Prostate"]
+
+# default file layouts per test suite ({root}/{suite}/... ; override by
+# passing format names explicitly)
+_DEFAULT_FORMATS = {
+    "nii": ("{pid}/img.nii.gz", "{pid}/seg.nii.gz"),
+    "nrrd": ("{pid}_img.nrrd", "{pid}_seg.nrrd"),
+}
+
+
+class TestSegmentationNetwork:
+    """Patient-wise volumetric evaluation loop."""
+
+    def __init__(self, solver, state, dataset: SliceDataset, *,
+                 maximum_batch_size: int = 25, n_iter: int = 1,
+                 metrics_list: Sequence[str] = ("Dice",),
+                 class_names: Optional[Sequence[str]] = None,
+                 save_report_dir: Optional[str] = None,
+                 save_predict: bool = False,
+                 foreground_only: bool = False,
+                 test_set_ratio: float = 1.0,
+                 crop_hw: Tuple[int, int] = (192, 192)):
+        self.solver = solver
+        self.state = state
+        self.dataset = dataset
+        self.chunk = maximum_batch_size
+        self.n_iter = n_iter
+        self.crop_hw = crop_hw
+        num_classes = 2 if foreground_only else solver.num_classes
+        names = (list(class_names) if class_names is not None
+                 else [str(i) for i in range(1, num_classes)])
+        self.score = SegmentationScore(num_classes, names, metrics_list)
+        self.save_report_dir = save_report_dir
+        self.save_predict = save_predict
+        self.foreground_only = foreground_only
+        self.test_set_ratio = test_set_ratio
+        self._predict = jax.jit(partial(self._predict_impl, n_iter=n_iter))
+        self.per_patient: List[Tuple[str, np.ndarray, np.ndarray]] = []
+
+    def _predict_impl(self, params, stats, x, n_iter):
+        logits = self.solver.predict(params, stats, x, softmax=False,
+                                     n_iter=n_iter, normalize_input=False)
+        return jnp.argmax(logits, axis=-1)
+
+    def predict_volume(self, volume: np.ndarray) -> np.ndarray:
+        """[S,h,w] normalized volume -> [S,h,w] int predictions; fixed-size
+        padded chunks keep a single compiled program."""
+        s = volume.shape[0]
+        preds = []
+        for start in range(0, s, self.chunk):
+            part = volume[start:start + self.chunk]
+            n = part.shape[0]
+            if n < self.chunk:  # pad to static chunk size
+                pad = np.zeros((self.chunk - n, *part.shape[1:]), part.dtype)
+                part = np.concatenate([part, pad], axis=0)
+            out = self._predict(self.state.params, self.state.batch_stats,
+                                jnp.asarray(part[..., None]))
+            preds.append(np.asarray(out)[:n])
+        return np.concatenate(preds, axis=0)
+
+    def run(self) -> Tuple[List[float], List[float]]:
+        pids = list(self.dataset.patient_ids)
+        if self.test_set_ratio < 1.0:
+            k = max(1, int(round(len(pids) * self.test_set_ratio)))
+            pids = list(np.random.RandomState(0).choice(pids, k, replace=False))
+        for pid in pids:
+            vol, gt, spacing = self.dataset.get_patient_volume(pid)
+            pred = self.predict_volume(vol)
+            if self.foreground_only:
+                pred = (pred > 0).astype(np.int32)
+                gt = (gt > 0).astype(np.int32)
+            # spacing is (sx,sy,sz); metrics expect [S,H,W]-ordered sampling
+            vx = (spacing[2], spacing[1], spacing[0])
+            self.score.update(pid, pred, gt, voxel_spacing=vx)
+            self.per_patient.append((pid, pred, gt))
+            if self.save_predict and self.save_report_dir:
+                from maxstyle_tpu.data import medio
+                os.makedirs(self.save_report_dir, exist_ok=True)
+                medio.write_nrrd(os.path.join(self.save_report_dir,
+                                              f"{pid}_pred.nrrd"),
+                                 pred.astype(np.uint8), spacing=spacing)
+        cols, means, stds = self.score.summary()
+        if self.save_report_dir:
+            os.makedirs(self.save_report_dir, exist_ok=True)
+            self.score.save_csv(os.path.join(self.save_report_dir,
+                                             "iter_1_detailed.csv"))
+            import pandas as pd
+            pd.DataFrame([dict(zip(cols, means)), dict(zip(cols, stds))],
+                         index=["mean", "std"]).to_csv(
+                os.path.join(self.save_report_dir, "iter_1_summary.csv"))
+        return means, stds
+
+    def top_k(self, k: int, metric_col: int = 0, worst: bool = False):
+        """Patient ids ranked by a metric column (test_basic…:227-244)."""
+        df = self.score.to_dataframe()
+        col = [c for c in df.columns if c != "patient_id"][metric_col]
+        df = df.sort_values(col, ascending=worst)
+        return df["patient_id"].head(k).tolist()
+
+
+def get_testset(test_dataset_name: str, test_root_dir: str,
+                crop_hw=(192, 192), pad_hw=(224, 224), new_spacing=None,
+                image_format_name: Optional[str] = None,
+                label_format_name: Optional[str] = None) -> SliceDataset:
+    """Build the OOD test dataset for a named suite. Layout:
+    {test_root_dir}/{suite}/{pid}/... (configurable per site)."""
+    root = os.path.join(test_root_dir, test_dataset_name)
+    if image_format_name is None:
+        image_format_name, label_format_name = _DEFAULT_FORMATS["nii"]
+    return build_general_dataset(root, image_format_name, label_format_name,
+                                 pad_hw=pad_hw, crop_hw=crop_hw,
+                                 new_spacing=new_spacing,
+                                 dataset_name=test_dataset_name)
+
+
+def evaluate(solver, state, test_dataset_name: str, test_root_dir: str, *,
+             method_name: str = "", maximum_batch_size: int = 25,
+             crop_hw=(192, 192), new_spacing=None,
+             save_report_dir: Optional[str] = None,
+             foreground_only: Optional[bool] = None,
+             test_set_ratio: float = 1.0, n_iter: int = 1):
+    """One test suite -> (means, stds, detailed dataframe); the cardiac /
+    prostate evaluate() wrappers in one function (class set chosen by the
+    solver's num_classes)."""
+    if foreground_only is None:
+        foreground_only = solver.num_classes <= 2
+    class_names = (PROSTATE_CLASS_NAMES if foreground_only
+                   else CARDIAC_CLASS_NAMES[:solver.num_classes - 1])
+    dataset = get_testset(test_dataset_name, test_root_dir, crop_hw=crop_hw,
+                          new_spacing=new_spacing)
+    harness = TestSegmentationNetwork(
+        solver, state, dataset, maximum_batch_size=maximum_batch_size,
+        metrics_list=("Dice",), class_names=class_names,
+        save_report_dir=save_report_dir, foreground_only=foreground_only,
+        test_set_ratio=test_set_ratio, crop_hw=crop_hw, n_iter=n_iter)
+    means, stds = harness.run()
+    return means, stds, harness.score.to_dataframe()
+
+
+def auto_test(solver, state, dataset_name: str, test_root_dir: str,
+              save_dir: str, method_name: str = "", **kwargs):
+    """The post-training benchmark sweep (train_adv…:893-959): all suites
+    for the task family -> dataset_summary.csv."""
+    import pandas as pd
+    if dataset_name in ("ACDC", "UKBB"):
+        suites = CARDIAC_TEST_SUITES
+        columns = (["dataset", "method"]
+                   + [f"{c} (mean)" for c in CARDIAC_CLASS_NAMES] + ["AVG"]
+                   + [f"{c} (std)" for c in CARDIAC_CLASS_NAMES])
+    elif dataset_name == "Prostate":
+        suites = PROSTATE_TEST_SITES
+        columns = ["dataset", "method", "Prostate (mean)", "Prostate (std)"]
+    else:
+        raise NotImplementedError(dataset_name)
+
+    rows = []
+    for suite in suites:
+        suite_root = os.path.join(test_root_dir, suite)
+        if not os.path.isdir(suite_root):
+            print(f"skip {suite}: {suite_root} not found")
+            continue
+        report_dir = os.path.join(save_dir, "report", suite)
+        means, stds, _ = evaluate(solver, state, suite, test_root_dir,
+                                  save_report_dir=report_dir, **kwargs)
+        record = [suite, method_name]
+        if len(means) > 1:
+            record += means + [float(np.mean(means))] + stds
+        else:
+            record += means + stds
+        rows.append(record)
+    df = pd.DataFrame(rows, columns=columns[:len(rows[0])] if rows else columns)
+    os.makedirs(os.path.join(save_dir, "report"), exist_ok=True)
+    df.to_csv(os.path.join(save_dir, "report", "dataset_summary.csv"), index=False)
+    return df

@@ -1,0 +1,253 @@
+"""UNet model family (Flax, NHWC).
+
+Redesign of /root/reference/src/models/segmentation_models/unet.py:15-136
+(UnetEncoder / UnetDecoder with skip connections + per-level CodeFilters +
+`apply_max_style`) and the building blocks of unet_parts.py (double_conv
+:41-67, inconv/down/up/outconv :178-212, 517-548, 628-635, CodeFilter
+:13-40), plus the monolithic `UNet` (:138-331).
+
+The decoder's style hooks use the same index protocol as the FCN decoder:
+0 = bottom feature (detached on entry in the reference's apply_max_style,
+unet.py:104-136), 1..4 = after up1..4, 5 = after the output conv — and the
+per-hook channel plan coincides with encoder_decoder.decoder_style_channels.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maxstyle_tpu.models import layers
+from maxstyle_tpu.models.encoder_decoder import StyleFns, _maybe_style
+
+
+class DoubleConv(nn.Module):
+    """(conv3 -> norm -> act) x2 (unet_parts.double_conv:41-67)."""
+
+    out_ch: int
+    norm: str = "batch"
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        act = nn.relu if self.act == "relu" else layers.lrelu
+        x = layers.conv3x3(self.out_ch, name="conv1")(x)
+        x = layers.Norm2d(self.norm, name="norm1")(x, train=train)
+        x = act(x)
+        x = layers.conv3x3(self.out_ch, name="conv2")(x)
+        x = layers.Norm2d(self.norm, name="norm2")(x, train=train)
+        return act(x)
+
+
+class Down(nn.Module):
+    """maxpool(2) + double_conv (unet_parts.down:517-535)."""
+
+    out_ch: int
+    norm: str = "batch"
+    act: str = "relu"
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = DoubleConv(self.out_ch, self.norm, self.act, name="conv")(x, train=train)
+        if self.dropout is not None:
+            x = layers.FixableDropout(self.dropout)(x, deterministic=deterministic_dropout)
+        return x
+
+
+class Up(nn.Module):
+    """upsample + concat skip + double_conv (unet_parts.up:552-584)."""
+
+    out_ch: int
+    up_type: str = "bilinear"
+    norm: str = "batch"
+    act: str = "relu"
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = True,
+                 deterministic_dropout: bool = False):
+        if self.up_type in ("bilinear", "nearest", "NN"):
+            x = layers.upsample2x(x, "NN" if self.up_type in ("nearest", "NN")
+                                  else "bilinear")
+        elif self.up_type == "Conv2":
+            x = nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2),
+                                 padding="VALID", kernel_init=layers.normal_002)(x)
+        else:
+            raise ValueError(self.up_type)
+        x = jnp.concatenate([skip, x], axis=-1)
+        if self.dropout is not None:
+            x = layers.FixableDropout(self.dropout)(x, deterministic=deterministic_dropout)
+        return DoubleConv(self.out_ch, self.norm, self.act, name="conv")(x, train=train)
+
+
+class CodeFilter(nn.Module):
+    """Per-level code decoupler (unet_parts.CodeFilter:13-40): same stack as
+    the dual-branch code_decoupler."""
+
+    out_ch: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, z, train: bool = True):
+        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv1")(z)
+        h = layers.Norm2d(self.norm, name="norm1")(h, train=train)
+        h = layers.lrelu(h)
+        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv2")(h)
+        h = layers.Norm2d(self.norm, name="norm2")(h, train=train)
+        return nn.relu(h)
+
+
+class UnetEncoder(nn.Module):
+    """Returns the 5-level skip pyramid [x1..x5] (unet.py:15-63);
+    `filter_code` applies optional per-level CodeFilters."""
+
+    feature_reduce: int = 1
+    norm: str = "batch"
+    act: str = "relu"
+    dropout: Optional[float] = None
+    enable_code_filter: bool = False
+
+    def setup(self):
+        r = self.feature_reduce
+        self.inc = DoubleConv(64 // r, self.norm, self.act)
+        self.down1 = Down(128 // r, self.norm, self.act, self.dropout)
+        self.down2 = Down(256 // r, self.norm, self.act, self.dropout)
+        self.down3 = Down(512 // r, self.norm, self.act, self.dropout)
+        self.down4 = Down(512 // r, self.norm, self.act, self.dropout)
+        if self.enable_code_filter:
+            chans = [64 // r, 128 // r, 256 // r, 512 // r, 512 // r]
+            self.code_filters = [CodeFilter(c, self.norm) for c in chans]
+
+    def encode(self, x, train: bool = True, domain_id: int = 0,
+               style_fns: StyleFns = None, deterministic_dropout: bool = False):
+        """Hook indices for MixStyle replay: 1=after inc, 2..5=after
+        down1..4 (there is no separate final conv, so index 6 is unused)."""
+        kw = dict(train=train, deterministic_dropout=deterministic_dropout)
+        x1 = self.inc(x, train=train)
+        x1 = _maybe_style(x1, style_fns, 1)
+        x2 = self.down1(x1, **kw)
+        x2 = _maybe_style(x2, style_fns, 2)
+        x3 = self.down2(x2, **kw)
+        x3 = _maybe_style(x3, style_fns, 3)
+        x4 = self.down3(x3, **kw)
+        x4 = _maybe_style(x4, style_fns, 4)
+        x5 = self.down4(x4, **kw)
+        x5 = _maybe_style(x5, style_fns, 5)
+        return [x1, x2, x3, x4, x5]
+
+    def filter_code(self, z: Sequence[jnp.ndarray], train: bool = True):
+        if not self.enable_code_filter:
+            return list(z)
+        return [f(zi, train=train) for f, zi in zip(self.code_filters, z)]
+
+    def __call__(self, x, train: bool = True, domain_id: int = 0):
+        z = self.encode(x, train=train)
+        return z, self.filter_code(z, train=train)
+
+
+class UnetDecoder(nn.Module):
+    """Skip-connected decoder over the [x1..x5] pyramid (unet.py:65-136)
+    with MaxStyle hooks at {0: bottom, 1..4: after ups, 5: after outc}."""
+
+    out_ch: int
+    feature_reduce: int = 1
+    up_type: str = "bilinear"
+    norm: str = "batch"
+    act: str = "relu"
+    dropout: Optional[float] = None
+    last_act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = True,
+                 style_fns: StyleFns = None, deterministic_dropout: bool = False):
+        r = self.feature_reduce
+        x1, x2, x3, x4, x5 = features
+        kw = dict(train=train, deterministic_dropout=deterministic_dropout)
+        x5 = _maybe_style(x5, style_fns, 0)
+        x = Up(256 // r, self.up_type, self.norm, self.act, self.dropout,
+               name="up1")(x5, x4, **kw)
+        x = _maybe_style(x, style_fns, 1)
+        x = Up(128 // r, self.up_type, self.norm, self.act, self.dropout,
+               name="up2")(x, x3, **kw)
+        x = _maybe_style(x, style_fns, 2)
+        x = Up(64 // r, self.up_type, self.norm, self.act, self.dropout,
+               name="up3")(x, x2, **kw)
+        x = _maybe_style(x, style_fns, 3)
+        x = Up(64 // r, self.up_type, self.norm, self.act, self.dropout,
+               name="up4")(x, x1, **kw)
+        x = _maybe_style(x, style_fns, 4)
+        x = layers.conv1x1(self.out_ch, name="outc")(x)
+        if self.last_act == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.last_act == "instance_norm":
+            from maxstyle_tpu.ops.intensity import instance_norm
+            x = instance_norm(x)
+        x = _maybe_style(x, style_fns, 5)
+        return x
+
+
+class UNet(nn.Module):
+    """Monolithic UNet (unet.py:138-331) — the plain baseline network used
+    by the SegmentationModel solver family."""
+
+    num_classes: int
+    feature_reduce: int = 1
+    norm: str = "batch"
+    dropout: Optional[float] = None
+
+    def setup(self):
+        self.encoder = UnetEncoder(self.feature_reduce, self.norm,
+                                   dropout=self.dropout)
+        self.decoder = UnetDecoder(self.num_classes, self.feature_reduce,
+                                   norm=self.norm, dropout=self.dropout)
+
+    def __call__(self, x, train: bool = True):
+        z = self.encoder.encode(x, train=train)
+        return self.decoder(z, train=train)
+
+
+def build_unet_modules(spec, image_ch=1, num_classes=4, encoder_dropout=None,
+                       decoder_dropout=None, image_size=192):
+    """Unet-family module bundle (advanced_triplet…get_network:204-251):
+    UnetEncoder + UnetDecoder seg head; image decoder is the standard conv
+    decoder over the bottom feature (or a UnetDecoder for `Unet_im_recon`);
+    UNETR variants use the transformer encoder."""
+    from maxstyle_tpu.models.encoder_decoder import Decoder, Encoder
+
+    r = spec.feature_reduce
+    act = "leaky_relu" if "leaky_relu" in spec.network_type else "relu"
+    modules = {}
+    if spec.is_transformer:
+        from maxstyle_tpu.models.unetr import UNETREncoder, UNETRDecoder
+        modules["image_encoder"] = UNETREncoder(
+            img_size=image_size, feature_size=64 // r, hidden_size=768,
+            enable_code_filter=spec.unet_code_filter)
+        modules["segmentation_decoder"] = UNETRDecoder(
+            out_ch=num_classes, feature_size=64 // r, hidden_size=768)
+    else:
+        modules["image_encoder"] = UnetEncoder(
+            feature_reduce=r, act=act, dropout=encoder_dropout,
+            enable_code_filter=spec.unet_code_filter)
+        modules["segmentation_decoder"] = UnetDecoder(
+            out_ch=num_classes, feature_reduce=r, act=act,
+            dropout=decoder_dropout, last_act=None)
+    if spec.has_image_recon:
+        if "Unet_im_recon" in spec.network_type:
+            modules["image_decoder"] = UnetDecoder(
+                out_ch=image_ch, feature_reduce=r, up_type="Conv2", act=act,
+                dropout=decoder_dropout, last_act=spec.image_decoder_last_act)
+        else:
+            modules["image_decoder"] = Decoder(
+                out_ch=image_ch, feature_reduce=r, up_type="Conv2",
+                dropout=decoder_dropout, last_act=spec.image_decoder_last_act)
+    if spec.has_stn:
+        modules["shape_encoder"] = Encoder(out_ch=512 // r, feature_reduce=r,
+                                           dropout=encoder_dropout, act="relu")
+        modules["shape_decoder"] = Decoder(out_ch=num_classes, feature_reduce=r,
+                                           up_type="NN", dropout=decoder_dropout)
+    return modules

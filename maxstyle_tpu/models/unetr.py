@@ -1,0 +1,216 @@
+"""UNETR (2D) — transformer-encoder segmentation family (Flax, NHWC).
+
+Redesign of /root/reference/src/models/segmentation_models/unetr.py:206-466
+(itself built on MONAI's ViT/UNETR blocks): a 12-layer ViT over 16x16
+patches (hidden 768, 12 heads, MLP 3072) with hidden states tapped at
+layers 3/6/9/12, projected through progressive deconv stacks into a 5-level
+skip pyramid [enc1@1x, enc2@1/2, enc3@1/4, enc4@1/8, dec4@1/16] consumed by
+a deconv+residual-conv decoder. The attention operates on (192/16)^2 = 144
+tokens — plain dense attention, ideal MXU shape; no sequence parallelism is
+needed (SURVEY §5).
+
+Encoder exposes the same `encode` / `filter_code` protocol as the other
+families (per-level CodeFilters, unetr.py:325-341) so the solver treats it
+identically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maxstyle_tpu.models import layers
+from maxstyle_tpu.models.encoder_decoder import StyleFns, _maybe_style
+from maxstyle_tpu.models.unet import CodeFilter
+
+
+class TransformerBlock(nn.Module):
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.hidden_size,
+            deterministic=deterministic)(h, h)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.mlp_dim)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.hidden_size)(h)
+        return x + h
+
+
+class ViT(nn.Module):
+    """Patch-conv embedding + learned position embedding + 12 blocks;
+    returns the final tokens and all intermediate hidden states."""
+
+    img_size: int = 192
+    patch_size: int = 16
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n_patch = (self.img_size // self.patch_size) ** 2
+        x = nn.Conv(self.hidden_size, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    name="patch_embed")(x)
+        b, gh, gw, c = x.shape
+        x = x.reshape(b, gh * gw, c)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                         (1, n_patch, self.hidden_size))
+        x = x + pos
+        hidden_states = []
+        for i in range(self.num_layers):
+            x = TransformerBlock(self.hidden_size, self.mlp_dim,
+                                 self.num_heads, name=f"block{i}")(x)
+            hidden_states.append(x)
+        return x, hidden_states
+
+
+class ResConvBlock(nn.Module):
+    """UnetrBasicBlock: conv3-norm-lrelu x2 + 1x1 skip (res_block=True)."""
+
+    out_ch: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = layers.conv3x3(self.out_ch, name="conv1")(x)
+        h = layers.Norm2d(self.norm, name="norm1")(h, train=train)
+        h = layers.lrelu(h)
+        h = layers.conv3x3(self.out_ch, name="conv2")(h)
+        h = layers.Norm2d(self.norm, name="norm2")(h, train=train)
+        skip = (layers.conv1x1(self.out_ch, name="skip")(x)
+                if x.shape[-1] != self.out_ch else x)
+        return layers.lrelu(skip + h)
+
+
+class PrUpBlock(nn.Module):
+    """UnetrPrUpBlock: n x [deconv2x -> res conv block], projecting a
+    1/16-resolution hidden map up by 2^n."""
+
+    out_ch: int
+    num_layer: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
+                             padding="VALID", kernel_init=layers.normal_002,
+                             name="up0")(x)
+        for i in range(self.num_layer):
+            x = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
+                                 padding="VALID", kernel_init=layers.normal_002,
+                                 name=f"up{i + 1}")(x)
+            x = ResConvBlock(self.out_ch, self.norm, name=f"conv{i + 1}")(x, train=train)
+        return x
+
+
+class UpCatBlock(nn.Module):
+    """UnetrUpBlock: deconv2x, concat skip, res conv block."""
+
+    out_ch: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = True):
+        x = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
+                             padding="VALID", kernel_init=layers.normal_002)(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return ResConvBlock(self.out_ch, self.norm)(x, train=train)
+
+
+class UNETREncoder(nn.Module):
+    """ViT trunk + progressive projections -> 5-level skip pyramid
+    (unetr.py:206-375)."""
+
+    img_size: int = 192
+    feature_size: int = 16
+    hidden_size: int = 768
+    norm: str = "batch"
+    enable_code_filter: bool = False
+
+    def setup(self):
+        self.vit = ViT(img_size=self.img_size, hidden_size=self.hidden_size)
+        f = self.feature_size
+        self.encoder1 = ResConvBlock(f, self.norm)
+        self.encoder2 = PrUpBlock(f * 2, num_layer=2, norm=self.norm)
+        self.encoder3 = PrUpBlock(f * 4, num_layer=1, norm=self.norm)
+        self.encoder4 = PrUpBlock(f * 8, num_layer=0, norm=self.norm)
+        if self.enable_code_filter:
+            chans = [f, f * 2, f * 4, f * 8, self.hidden_size]
+            self.code_filters = [CodeFilter(c, self.norm) for c in chans]
+
+    def _proj(self, tokens):
+        b, n, c = tokens.shape
+        g = self.img_size // 16
+        return tokens.reshape(b, g, g, c)
+
+    def encode(self, x, train: bool = True, domain_id: int = 0,
+               style_fns: StyleFns = None, deterministic_dropout: bool = False):
+        _, hidden = self.vit(x, train=train)
+        z3, z6, z9, z12 = hidden[2], hidden[5], hidden[8], hidden[11]
+        enc1 = self.encoder1(x, train=train)
+        enc1 = _maybe_style(enc1, style_fns, 1)
+        enc2 = self.encoder2(self._proj(z3), train=train)
+        enc2 = _maybe_style(enc2, style_fns, 2)
+        enc3 = self.encoder3(self._proj(z6), train=train)
+        enc3 = _maybe_style(enc3, style_fns, 3)
+        enc4 = self.encoder4(self._proj(z9), train=train)
+        enc4 = _maybe_style(enc4, style_fns, 4)
+        dec4 = self._proj(z12)
+        dec4 = _maybe_style(dec4, style_fns, 5)
+        return [enc1, enc2, enc3, enc4, dec4]
+
+    def filter_code(self, z: Sequence[jnp.ndarray], train: bool = True):
+        if not self.enable_code_filter:
+            return list(z)
+        return [f(zi, train=train) for f, zi in zip(self.code_filters, z)]
+
+    def __call__(self, x, train: bool = True, domain_id: int = 0):
+        z = self.encode(x, train=train)
+        return z, self.filter_code(z, train=train)
+
+
+class UNETRDecoder(nn.Module):
+    """Deconv + residual-conv decoder over the UNETR pyramid
+    (unetr.py:378-466), with the standard style-hook protocol."""
+
+    out_ch: int
+    feature_size: int = 16
+    hidden_size: int = 768
+    norm: str = "batch"
+    last_act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = True,
+                 style_fns: StyleFns = None, deterministic_dropout: bool = False):
+        enc1, enc2, enc3, enc4, dec4 = features
+        f = self.feature_size
+        dec4 = _maybe_style(dec4, style_fns, 0)
+        x = UpCatBlock(f * 8, self.norm, name="decoder5")(dec4, enc4, train=train)
+        x = _maybe_style(x, style_fns, 1)
+        x = UpCatBlock(f * 4, self.norm, name="decoder4")(x, enc3, train=train)
+        x = _maybe_style(x, style_fns, 2)
+        x = UpCatBlock(f * 2, self.norm, name="decoder3")(x, enc2, train=train)
+        x = _maybe_style(x, style_fns, 3)
+        x = UpCatBlock(f, self.norm, name="decoder2")(x, enc1, train=train)
+        x = _maybe_style(x, style_fns, 4)
+        x = layers.conv1x1(self.out_ch, name="out")(x)
+        if self.last_act == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.last_act == "instance_norm":
+            from maxstyle_tpu.ops.intensity import instance_norm
+            x = instance_norm(x)
+        x = _maybe_style(x, style_fns, 5)
+        return x

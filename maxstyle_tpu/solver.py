@@ -133,26 +133,57 @@ class TripletSegmentationSolver:
         params: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
         keys = prng.split_dict(rng, tuple(self.modules.keys()))
-        latent_hw = (h // 16, w // 16)
-        latent = jnp.zeros((batch_size, *latent_hw, self.spec.latent_ch))
+
+        enc = self.modules["image_encoder"]
+        enc_vars = jax.jit(partial(enc.init, train=False))(keys["image_encoder"], x)
+        params["image_encoder"] = enc_vars["params"]
+        stats["image_encoder"] = enc_vars.get("batch_stats", {})
+        # template latent codes drive decoder initialization (handles both
+        # single-tensor FCN codes and Unet skip-feature pyramids)
+        z, z_s_tpl = jax.eval_shape(partial(enc.apply, enc_vars, train=False), x)
+        z_i_tpl, z_s_tpl = self._route_codes(z, z_s_tpl)
+
+        def zeros_like_shape(t):
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), t)
+
+        z_i0 = zeros_like_shape(z_i_tpl)
+        z_s0 = zeros_like_shape(z_s_tpl)
+
         for name, module in self.modules.items():
-            if name in ("image_encoder",):
-                variables = jax.jit(partial(module.init, train=False))(keys[name], x)
-            elif name == "shape_encoder":
+            if name == "image_encoder":
+                continue
+            if name == "shape_encoder":
                 c = self.num_classes
                 if self.spec.shape_input_mode in ("w_image", "w_recon_image"):
                     c += self.image_ch
                 elif self.spec.shape_input_mode == "w_dual_image":
                     c += 2 * self.image_ch
-                variables = jax.jit(partial(module.init, train=False))(
-                    keys[name], jnp.zeros((batch_size, h, w, c)))
-            else:  # decoders
-                variables = jax.jit(partial(module.init, train=False))(keys[name], latent)
+                arg = jnp.zeros((batch_size, h, w, c))
+            elif name == "shape_decoder":
+                lh, lw = h // 16, w // 16
+                arg = jnp.zeros((batch_size, lh, lw, self.spec.latent_ch))
+            elif name == "segmentation_decoder":
+                arg = z_s0
+            else:  # image_decoder
+                arg = z_i0
+            variables = jax.jit(partial(module.init, train=False))(keys[name], arg)
             params[name] = variables["params"]
             stats[name] = variables.get("batch_stats", {})
         opt_states = {name: self.tx.init(params[name]) for name in params}
         return TrainState(params=params, batch_stats=stats, opt_states=opt_states,
                           step=jnp.zeros((), jnp.int32))
+
+    def _route_codes(self, z, z_s):
+        """(z, filtered) -> (z_i, z_s) per the network_type routing
+        (advanced_triplet…filter_code:347-385)."""
+        if self.spec.is_unet:
+            z_i = z if "Unet_im_recon" in self.spec.network_type else z[-1]
+            return z_i, z_s
+        if self.spec.no_filter:
+            return z, z
+        z_i = z_s if self.spec.share_code else z
+        return z_i, z_s
 
     # ------------------------------------------------------------------
     # module application with BN-mode choreography
@@ -194,12 +225,19 @@ class TripletSegmentationSolver:
 
     def filter_code(self, params, stats, z, *, mode: str, rngs=None):
         enc = self.modules["image_encoder"]
+        if self.spec.is_unet:
+            if self.spec.unet_code_filter:
+                z_s, stats = self.apply_module("image_encoder", params, stats, z,
+                                               mode=mode, method=enc.filter_code,
+                                               rngs=rngs)
+            else:
+                z_s = z
+            return self._route_codes(z, z_s), stats
         if self.spec.no_filter:
             return (z, z), stats
         z_s, stats = self.apply_module("image_encoder", params, stats, z,
                                        mode=mode, method=enc.filter_code, rngs=rngs)
-        z_i = z_s if self.spec.share_code else z
-        return (z_i, z_s), stats
+        return self._route_codes(z, z_s), stats
 
     def decode(self, name: str, params, stats, code, *, mode: str, rngs=None,
                style_fns=None):
@@ -346,7 +384,7 @@ class TripletSegmentationSolver:
             return sg(recon)
 
         chans = decoder_style_channels(self.spec.feature_reduce, self.image_ch)
-        batch = code.shape[0]
+        batch = jax.tree_util.tree_leaves(code)[0].shape[0]
         keys = jax.random.split(rng, len(indexes))
         style_params = {}
         style_state = {}
