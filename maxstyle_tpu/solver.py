@@ -105,9 +105,17 @@ class TripletSegmentationSolver:
     """Owns module definitions + static config; all compute is in pure
     functions over TrainState fields."""
 
-    def __init__(self, config: ExperimentConfig, image_ch: int = 1):
+    def __init__(self, config: ExperimentConfig, image_ch: int = 1,
+                 maxstyle_backend: str = "auto"):
+        """maxstyle_backend: 'jnp' (XLA-fused reference impl), 'pallas'
+        (fused TPU kernels, ops/maxstyle_pallas.py), or 'auto' (pallas on
+        TPU, jnp elsewhere)."""
         self.config = config
         self.image_ch = image_ch
+        if maxstyle_backend == "auto":
+            maxstyle_backend = ("pallas" if jax.default_backend() == "tpu"
+                                else "jnp")
+        self.maxstyle_backend = maxstyle_backend
         self.num_classes = config.segmentation_model.num_classes
         self.spec: NetworkSpec = parse_network_type(
             config.segmentation_model.network_type,
@@ -394,12 +402,18 @@ class TripletSegmentationSolver:
             style_state[idx] = st
         lmask = ms.learnable_mask(ms_cfg)
 
+        if self.maxstyle_backend == "pallas":
+            from maxstyle_tpu.ops.maxstyle_pallas import apply_maxstyle_pallas
+            apply_style = apply_maxstyle_pallas
+        else:
+            apply_style = ms.apply_maxstyle
+
         def decode_with_styles(sp, st):
             new_st = dict(st)
 
             def make_hook(idx):
                 def hook(x):
-                    out, s2 = ms.apply_maxstyle(x, sp[idx], st[idx], ms_cfg)
+                    out, s2 = apply_style(x, sp[idx], st[idx], ms_cfg)
                     new_st[idx] = s2
                     return out
                 return hook

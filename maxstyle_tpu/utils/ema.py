@@ -1,0 +1,43 @@
+"""Exponential moving average of parameters + LR schedules.
+
+≙ model_util.ExponentialMovingAverage:86-165 (teacher/student EMA used by
+the plain SegmentationModel solver, base_segmentation_model.py:62-66,
+193-204) and model_util.get_scheduler:677-722 (the reference uses
+StepLR(step=5, gamma=0.1) for SGD; advanced_triplet…:1070-1077).
+Functional: EMA params are just a pytree updated per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+
+def ema_init(params: Any) -> Any:
+    return jax.tree_util.tree_map(lambda p: p, params)
+
+
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)
+
+
+def make_lr_schedule(policy: str, base_lr: float, *, lr_decay_epochs: int = 5,
+                     gamma: float = 0.1, steps_per_epoch: int = 1,
+                     total_epochs: int = 100):
+    """LR schedule menu (model_util.get_scheduler:677-722): 'step' (StepLR),
+    'lambda' (linear decay), 'plateau' handled by the driver, 'constant'."""
+    if policy == "constant":
+        return base_lr
+    if policy == "step":
+        boundaries = {}
+        lr = base_lr
+        for e in range(lr_decay_epochs, total_epochs, lr_decay_epochs):
+            lr = lr * gamma
+            boundaries[e * steps_per_epoch] = gamma
+        return optax.piecewise_constant_schedule(base_lr, boundaries)
+    if policy == "lambda":
+        return optax.linear_schedule(base_lr, 0.0, total_epochs * steps_per_epoch)
+    raise NotImplementedError(policy)
