@@ -3,10 +3,17 @@ tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4e)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the machine exports JAX_PLATFORMS=axon (one real TPU chip);
+# tests must run on the virtual 8-device CPU mesh and never contend for it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU's space-to-batch pass crashes on maxpool-UNet backprop convs
+# (shape check failure in PropagateOnBackpropFilterConv); disable it.
+if "space-to-batch" not in _flags:
+    _flags += " --xla_disable_hlo_passes=space-to-batch-converter"
+os.environ["XLA_FLAGS"] = _flags
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
