@@ -294,6 +294,45 @@ class SelfAttention2d(nn.Module):
         return gamma * out + x
 
 
+class AdaptiveInstanceNorm2d(nn.Module):
+    """AdaIN with externally-supplied affine params
+    (custom_layers.AdaptiveInstanceNorm2d:261-290): instance-normalize, then
+    scale/shift with style-derived (gamma, beta)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, gamma, beta):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        normed = (x - mean) / jnp.sqrt(var + self.eps)
+        return normed * gamma.reshape(x.shape[0], 1, 1, -1) + \
+            beta.reshape(x.shape[0], 1, 1, -1)
+
+
+def spatial_pyramid_pool(x: jnp.ndarray, levels=(1, 2, 4)) -> jnp.ndarray:
+    """SPP: concat of adaptively max-pooled grids flattened per sample
+    (custom_layers.spatial_pyramid_pool:391-416)."""
+    n, h, w, c = x.shape
+    outs = []
+    for lv in levels:
+        kh, kw = -(-h // lv), -(-w // lv)
+        pooled = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                       (1, kh, kw, 1), (1, kh, kw, 1), "SAME")
+        outs.append(pooled.reshape(n, -1))
+    return jnp.concatenate(outs, axis=1)
+
+
+def bilinear_additive_upsampling(x: jnp.ndarray, out_ch: int) -> jnp.ndarray:
+    """Bilinear 2x upsample, then average groups of C/out_ch channels
+    (custom_layers.bilinear_additive_upsampling:181-211)."""
+    n, h, w, c = x.shape
+    assert c % out_ch == 0, (c, out_ch)
+    up = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
+    group = c // out_ch
+    return up.reshape(n, 2 * h, 2 * w, out_ch, group).mean(axis=-1)
+
+
 class AdaptiveBatchInstanceNorm(nn.Module):
     """Batch-Instance norm with learnable clamped gate rho
     (custom_layers.BatchInstanceNorm:331-388)."""
