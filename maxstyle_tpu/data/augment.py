@@ -55,6 +55,8 @@ class AugPolicy:
     intensity_prob: float = 0.0
     contrast_range: Tuple[float, float] = (0.8, 1.2)
     brightness_range: Tuple[float, float] = (-0.1, 0.1)
+    gamma_prob: float = 0.0
+    gamma_range: Tuple[float, float] = (0.8, 1.2)
     bias_field_prob: float = 0.0
     bias_field_magnitude: float = 0.2
     noise_epsilon: float = 0.0
@@ -77,6 +79,9 @@ def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
                                       rotate_deg=15.0, zoom_range=(0.9, 1.1)),
         "scale": dataclasses.replace(base, zoom_range=(0.8, 1.2)),
         "elastic": dataclasses.replace(base, elastic_prob=0.5),
+        "gamma": dataclasses.replace(base, gamma_prob=0.5),
+        "gamma_elastic": dataclasses.replace(base, gamma_prob=0.5,
+                                             elastic_prob=0.5),
         "ACDC_affine": acdc_affine,
         "ACDC_affine_intensity": dataclasses.replace(acdc_affine, intensity_prob=0.5),
         "ACDC_affine_elastic": dataclasses.replace(acdc_affine, elastic_prob=0.5),
@@ -272,6 +277,16 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
         do_bias = jax.random.uniform(k_gate) < p.bias_field_prob
         field = _bias_field(k_field, (h, w), p.bias_field_magnitude)
         img = jnp.where(do_bias, img * field, img)
+
+    # gamma augmentation (RandomGamma, intensity_transform.py:68-111):
+    # min-max first so the power is well-defined on [0,1]
+    if p.gamma_prob > 0:
+        k_g1, k_g2 = jax.random.split(jax.random.fold_in(key, 99))
+        do_gamma = jax.random.uniform(k_g1) < p.gamma_prob
+        gamma = jax.random.uniform(k_g2, minval=p.gamma_range[0],
+                                   maxval=p.gamma_range[1])
+        normed = _percentile_minmax(img)
+        img = jnp.where(do_gamma, normed ** gamma, img)
 
     img = _percentile_minmax(img)
     return img, lab

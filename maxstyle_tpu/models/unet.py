@@ -211,6 +211,53 @@ class UNet(nn.Module):
         return self.decoder(z, train=train)
 
 
+class DeeplySupervisedUNet(nn.Module):
+    """UNet emitting auxiliary predictions from intermediate decoder levels,
+    upsampled to full resolution (unet.DeeplySupervisedUNet:333-454).
+    Returns [aux_1/4, aux_1/2, final] logits lists for hierarchical or
+    deep-supervision losses."""
+
+    num_classes: int
+    feature_reduce: int = 1
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        r = self.feature_reduce
+        enc = UnetEncoder(self.feature_reduce, self.norm, name="encoder")
+        x1, x2, x3, x4, x5 = enc.encode(x, train=train)
+        u1 = Up(256 // r, "bilinear", self.norm, name="up1")(x5, x4, train=train)
+        u2 = Up(128 // r, "bilinear", self.norm, name="up2")(u1, x3, train=train)
+        u3 = Up(64 // r, "bilinear", self.norm, name="up3")(u2, x2, train=train)
+        u4 = Up(64 // r, "bilinear", self.norm, name="up4")(u3, x1, train=train)
+
+        def head(feat, name):
+            logits = layers.conv1x1(self.num_classes, name=name)(feat)
+            n, h, w, c = logits.shape
+            hh, ww = x.shape[1], x.shape[2]
+            return jax.image.resize(logits, (n, hh, ww, c), method="linear")
+
+        aux2 = head(u2, "aux_head_2")
+        aux3 = head(u3, "aux_head_3")
+        final = layers.conv1x1(self.num_classes, name="outc")(u4)
+        return [aux2, aux3, final]
+
+
+class UNetv2(nn.Module):
+    """UNet variant with Conv2-transposed upsampling (unet.UNetv2:457-537)."""
+
+    num_classes: int
+    feature_reduce: int = 1
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        enc = UnetEncoder(self.feature_reduce, self.norm, name="encoder")
+        dec = UnetDecoder(self.num_classes, self.feature_reduce,
+                          up_type="Conv2", norm=self.norm, name="decoder")
+        return dec(enc.encode(x, train=train), train=train)
+
+
 def build_unet_modules(spec, image_ch=1, num_classes=4, encoder_dropout=None,
                        decoder_dropout=None, image_size=192):
     """Unet-family module bundle (advanced_triplet…get_network:204-251):

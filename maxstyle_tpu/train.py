@@ -215,8 +215,9 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
             if stop:
                 break
         logger.export(experiment_name.replace("/", "_"))
-    except KeyboardInterrupt:
-        # interrupt snapshot + resume path (train_adv…:580-584)
+    except (KeyboardInterrupt, Exception):
+        # interrupt snapshot + resume path: the reference wraps the whole
+        # loop in a catch-all that saves a snapshot (train_adv…:580-584)
         if last_epoch > start_epoch:
             path = ckpt.save_checkpoint(model_dir, "interrupted", state,
                                         last_epoch, best_score,
