@@ -148,25 +148,25 @@ class SliceDataset:
     def get_raw_slice(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
         """Padded raw (image [H,W] float32, label [H,W] int32, pid) —
         normalization/augmentation happen on device."""
+        from maxstyle_tpu import native
         pid, s = self.slice_index[index]
         img, lab, _ = self._load_volume(pid)
-        image = medio.crop_or_pad(img[s:s + 1], self.pad_hw)[0]
-        label = medio.crop_or_pad(lab[s:s + 1], self.pad_hw)[0]
-        return image, label.astype(np.int32), pid
+        image = native.crop_or_pad(img[s:s + 1].astype(np.float32), self.pad_hw)[0]
+        label = native.crop_or_pad(lab[s:s + 1].astype(np.int32), self.pad_hw)[0]
+        return image, label, pid
 
     # -- volumetric test access ------------------------------------------
 
     def get_patient_volume(self, pid: str, normalize_2d: bool = True):
         """(volume [S,h,w] float norm, label [S,h,w] int, spacing) at
         crop size (get_patient_data_for_testing:337-371)."""
+        from maxstyle_tpu import native
         img, lab, spacing = self._load_volume(pid)
-        img = medio.crop_or_pad(img, self.crop_hw)
-        lab = medio.crop_or_pad(lab, self.crop_hw)
+        img = native.crop_or_pad(img.astype(np.float32), self.crop_hw)
+        lab = native.crop_or_pad(lab.astype(np.int32), self.crop_hw)
         if normalize_2d:
-            mn = img.min(axis=(1, 2), keepdims=True)
-            mx = img.max(axis=(1, 2), keepdims=True)
-            img = (img - mn) / (mx - mn + 1e-20)
-        return img.astype(np.float32), lab.astype(np.int32), spacing
+            img = native.minmax_norm_slices(img)
+        return img.astype(np.float32), lab, spacing
 
 
 class ConcatSliceDataset:

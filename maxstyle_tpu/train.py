@@ -186,7 +186,8 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
         for epoch in range(start_epoch, n_epochs):
             last_epoch = epoch
             t0 = time.time()
-            for i_iter, raw in enumerate(loader):
+            from maxstyle_tpu.data.prefetch import prefetch
+            for i_iter, raw in enumerate(prefetch(loader, depth=2)):
                 if debug and i_iter > 20:
                     break
                 k = jax.random.fold_in(prng.fold_name(root_key, "step"), g_count)
