@@ -112,6 +112,27 @@ def acdc_split(identifier: str, cval: int) -> Dict[str, List[str]]:
             "test+unlabelled": list(ACDC_TEST_PATIENTS) + list(_ACDC_UNLABELLED)}
 
 
+def ukbb_split(identifier: str, cval: int) -> Dict[str, List[str]]:
+    """UKBB policy (ACDC_few_shot_cv_settings.get_UKBB_split_policy:162-210):
+    500 subjects '001'..'500', 70/10/20 split, labelled pool = first 150
+    train subjects permuted with RandomState(cval)."""
+    import numpy as np
+    ids = np.arange(1, 501)
+    train = ids[:350]
+    unlabelled = [f"{i:03d}" for i in train[150:]]
+    validate = [f"{i:03d}" for i in ids[350:400]]
+    test = [f"{i:03d}" for i in ids[400:]]
+    pool = train[:150]
+    perm = np.random.RandomState(cval).permutation(len(pool))
+    n = {"one_shot": 1, "three_shot": 3, "five_shot": 5, "15_shot": 15,
+         "full": len(pool)}.get(identifier)
+    if n is None:
+        raise NotImplementedError(identifier)
+    chosen = [f"{i:03d}" for i in perm[:n]]
+    return {"name": f"{identifier}_cv_{cval}", "train": chosen,
+            "validate": validate, "test": test, "unlabelled": unlabelled}
+
+
 def prostate_split(all_patient_ids: Sequence[str], identifier: str,
                    cval: int) -> Dict[str, List[str]]:
     """Medical-Decathlon prostate split: fixed 7-patient test set, 90/10

@@ -66,15 +66,24 @@ class ForwardAux:
     p_recon: Optional[jnp.ndarray]
 
 
-def make_optimizer(optimizer_type: str, lr: float) -> optax.GradientTransformation:
+def make_optimizer(optimizer_type: str, lr: float,
+                   steps_per_epoch: Optional[int] = None,
+                   n_epochs: int = 600) -> optax.GradientTransformation:
     """Per-module optimizer factory (advanced_triplet…:1055-1068), with
-    torch-default hyperparameters."""
+    torch-default hyperparameters. SGD gets the reference's StepLR(5, 0.5)
+    schedule (set_schedulers :1070-1077) when steps_per_epoch is known."""
     if optimizer_type == "Adam":
         return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if optimizer_type == "AdamW":
         return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
     if optimizer_type == "SGD":
-        return optax.sgd(lr, momentum=0.99)
+        rate = lr
+        if steps_per_epoch:
+            from maxstyle_tpu.utils.ema import make_lr_schedule
+            rate = make_lr_schedule("step", lr, lr_decay_epochs=5,
+                                    steps_per_epoch=steps_per_epoch,
+                                    total_epochs=n_epochs)
+        return optax.sgd(rate, momentum=0.99)
     raise NotImplementedError(optimizer_type)
 
 

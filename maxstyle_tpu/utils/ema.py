@@ -25,19 +25,34 @@ def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
 
 
 def make_lr_schedule(policy: str, base_lr: float, *, lr_decay_epochs: int = 5,
-                     gamma: float = 0.1, steps_per_epoch: int = 1,
+                     gamma: float = None, steps_per_epoch: int = 1,
                      total_epochs: int = 100):
-    """LR schedule menu (model_util.get_scheduler:677-722): 'step' (StepLR),
-    'lambda' (linear decay), 'plateau' handled by the driver, 'constant'."""
+    """LR schedule menu (model_util.get_scheduler:677-722): 'step'
+    (StepLR gamma=0.5 — the policy the triplet solver attaches to SGD,
+    advanced_triplet…:1070-1077), 'step2' (gamma=0.1), 'lambda' (linear
+    decay), 'step_warmstart'/'step_warmstart2', 'constant'. 'plateau' is a
+    driver-level policy (validation-metric dependent), not a schedule."""
     if policy == "constant":
         return base_lr
-    if policy == "step":
-        boundaries = {}
-        lr = base_lr
-        for e in range(lr_decay_epochs, total_epochs, lr_decay_epochs):
-            lr = lr * gamma
-            boundaries[e * steps_per_epoch] = gamma
+    if policy in ("step", "step2"):
+        g = gamma if gamma is not None else (0.5 if policy == "step" else 0.1)
+        boundaries = {e * steps_per_epoch: g
+                      for e in range(lr_decay_epochs, total_epochs,
+                                     lr_decay_epochs)}
         return optax.piecewise_constant_schedule(base_lr, boundaries)
     if policy == "lambda":
         return optax.linear_schedule(base_lr, 0.0, total_epochs * steps_per_epoch)
+    if policy in ("step_warmstart", "step_warmstart2"):
+        hi = 100 if policy == "step_warmstart" else 50
+        lo2 = 200 if policy == "step_warmstart" else 100
+
+        def sched(step):
+            import jax.numpy as jnp
+            epoch = step // steps_per_epoch
+            scale = jnp.where(epoch < 5, 0.1,
+                              jnp.where(epoch < hi, 1.0,
+                                        jnp.where(epoch < lo2, 0.1, 0.01)))
+            return base_lr * scale
+
+        return sched
     raise NotImplementedError(policy)
