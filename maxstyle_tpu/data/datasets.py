@@ -81,6 +81,7 @@ class SliceDataset:
                  right_ventricle_only: bool = False,
                  ignore_black_slice: bool = True,
                  cache_volumes: int = 20,
+                 disk_cache_dir: Optional[str] = None,
                  dataset_name: str = ""):
         self.root_dir = root_dir
         self.dataset_name = dataset_name
@@ -94,6 +95,12 @@ class SliceDataset:
                                  right_ventricle_only=right_ventricle_only)
         self.ignore_black_slice = ignore_black_slice
         self._cache = LRUVolumeCache(cache_volumes)
+        # optional on-disk cache of resampled/remapped volumes — the
+        # counterpart of the reference's ./log/cache scan pickles
+        # (cardiac_ACDC_dataset.py:109-176)
+        self.disk_cache_dir = disk_cache_dir
+        if disk_cache_dir:
+            os.makedirs(disk_cache_dir, exist_ok=True)
         self.patient_ids: List[str] = []
         self.slice_index: List[Tuple[str, int]] = []  # (pid, slice)
         self.pid_spacing: Dict[str, Tuple[float, ...]] = {}
@@ -105,10 +112,23 @@ class SliceDataset:
         return (os.path.join(self.root_dir, self.image_format_name.format(pid=pid, p_id=pid)),
                 os.path.join(self.root_dir, self.label_format_name.format(pid=pid, p_id=pid)))
 
+    def _disk_cache_path(self, pid: str) -> Optional[str]:
+        if not self.disk_cache_dir:
+            return None
+        safe = pid.replace("/", "_")
+        return os.path.join(self.disk_cache_dir,
+                            f"{self.dataset_name}_{safe}.npz")
+
     def _load_volume(self, pid: str):
         cached = self._cache.get(pid)
         if cached is not None:
             return cached
+        dpath = self._disk_cache_path(pid)
+        if dpath and os.path.exists(dpath):
+            z = np.load(dpath)
+            entry = (z["img"], z["lab"], tuple(z["spacing"]))
+            self._cache.put(pid, entry)
+            return entry
         img_path, lab_path = self._paths(pid)
         img, spacing = medio.read_volume(img_path)
         lab, _ = medio.read_volume(lab_path)
@@ -120,6 +140,9 @@ class SliceDataset:
             lab, _ = medio.resample_by_spacing(lab, src_spacing, self.new_spacing,
                                                label=True)
         entry = (img, lab, spacing)
+        if dpath:
+            np.savez_compressed(dpath, img=img, lab=lab,
+                                spacing=np.asarray(spacing))
         self._cache.put(pid, entry)
         return entry
 

@@ -15,7 +15,9 @@ if "space-to-batch" not in _flags:
     _flags += " --xla_disable_hlo_passes=space-to-batch-converter"
 os.environ["XLA_FLAGS"] = _flags
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# dedicated CPU cache: entries compiled via the axon tunnel carry the remote
+# host's machine features and mis-execute when loaded by the local CPU
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
 
 import jax  # noqa: E402
 
