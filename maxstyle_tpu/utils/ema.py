@@ -16,7 +16,14 @@ import optax
 
 
 def ema_init(params: Any) -> Any:
-    return jax.tree_util.tree_map(lambda p: p, params)
+    # a real copy: aliasing the param buffers breaks donation (the same
+    # buffer would be donated twice in the train step)
+    return jax.tree_util.tree_map(jnp_copy, params)
+
+
+def jnp_copy(x):
+    import jax.numpy as jnp
+    return jnp.array(x)
 
 
 def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
