@@ -38,13 +38,17 @@ def main():
     state, metrics = step(state, batch_data, jax.random.key(10))
     jax.block_until_ready(metrics)
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batch_data, jax.random.fold_in(jax.random.key(11), i))
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_steps / dt
+    n_steps, n_repeats = 50, 3
+    rates = []
+    for r in range(n_repeats):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, batch_data,
+                                  jax.random.fold_in(jax.random.key(11), r * n_steps + i))
+        jax.block_until_ready(metrics)
+        rates.append(n_steps / (time.perf_counter() - t0))
+    rates.sort()
+    steps_per_sec = rates[len(rates) // 2]  # median
 
     print(json.dumps({
         "metric": "maxstyle_train_steps_per_sec_per_chip",
