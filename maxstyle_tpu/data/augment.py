@@ -97,6 +97,32 @@ def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
             elastic_prob=0.5),
         "UKBB_affine_elastic_intensity_aug": dataclasses.replace(
             acdc_affine, intensity_prob=0.5, elastic_prob=0.5),
+        # remaining registry names (transform.py:15-42) mapped onto the same
+        # parameter space
+        "gamma_scale": dataclasses.replace(base, gamma_prob=0.5,
+                                           zoom_range=(0.8, 1.2)),
+        "affine_elastic": dataclasses.replace(
+            base, shift_frac=(0.1, 0.1), rotate_deg=15.0,
+            zoom_range=(0.9, 1.1), elastic_prob=0.5),
+        "affine_gamma": dataclasses.replace(
+            base, shift_frac=(0.1, 0.1), rotate_deg=15.0,
+            zoom_range=(0.9, 1.1), gamma_prob=0.5),
+        "affine_gamma_elastic": dataclasses.replace(
+            base, shift_frac=(0.1, 0.1), rotate_deg=15.0,
+            zoom_range=(0.9, 1.1), gamma_prob=0.5, elastic_prob=0.5),
+        "elastic_scale": dataclasses.replace(base, elastic_prob=0.5,
+                                             zoom_range=(0.8, 1.2)),
+        "elastic_v2": dataclasses.replace(base, elastic_prob=0.5),
+        "ACDC_affine_perturb": dataclasses.replace(acdc_affine,
+                                                   bias_field_prob=0.5),
+        "ACDC_affine_perturb_v2": dataclasses.replace(acdc_affine,
+                                                      bias_field_prob=0.5),
+        "Atrial_basic": dataclasses.replace(
+            base, flip_h=True, flip_v=True, flip_p=0.5, shift_frac=(0.1, 0.1),
+            rotate_deg=10.0, zoom_range=(0.7, 1.3)),
+        "Atrial_perturb": dataclasses.replace(
+            base, flip_h=True, flip_v=True, flip_p=0.5, shift_frac=(0.1, 0.1),
+            rotate_deg=10.0, zoom_range=(0.7, 1.3), bias_field_prob=0.5),
     }
     if name not in table:
         raise KeyError(f"unknown aug policy {name}; have {sorted(table)}")

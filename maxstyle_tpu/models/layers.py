@@ -333,6 +333,19 @@ def bilinear_additive_upsampling(x: jnp.ndarray, out_ch: int) -> jnp.ndarray:
     return up.reshape(n, 2 * h, 2 * w, out_ch, group).mean(axis=-1)
 
 
+class AdaptiveBatchNorm2d(nn.Module):
+    """BN with learnable identity mixing: out = a * BN(x) + b * x
+    (custom_layers.AdaptiveBatchNorm2d:296-326; a init 1, b init 0)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        a = self.param("a", jax.nn.initializers.ones, (1,))
+        b = self.param("b", jax.nn.initializers.zeros, (1,))
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, scale_init=bn_scale_init)(x)
+        return a * bn + b * x
+
+
 class AdaptiveBatchInstanceNorm(nn.Module):
     """Batch-Instance norm with learnable clamped gate rho
     (custom_layers.BatchInstanceNorm:331-388)."""
