@@ -87,11 +87,16 @@ class TestEMA:
 
     def test_step_schedule(self):
         from maxstyle_tpu.utils.ema import make_lr_schedule
+        # 'step' = StepLR gamma 0.5 (model_util.get_scheduler:685)
         sched = make_lr_schedule("step", 1.0, lr_decay_epochs=5,
                                  steps_per_epoch=10, total_epochs=20)
         assert float(sched(0)) == 1.0
-        assert abs(float(sched(51)) - 0.1) < 1e-6
-        assert abs(float(sched(101)) - 0.01) < 1e-6
+        assert abs(float(sched(51)) - 0.5) < 1e-6
+        assert abs(float(sched(101)) - 0.25) < 1e-6
+        # 'step2' = gamma 0.1 (:687)
+        sched2 = make_lr_schedule("step2", 1.0, lr_decay_epochs=5,
+                                  steps_per_epoch=10, total_epochs=20)
+        assert abs(float(sched2(51)) - 0.1) < 1e-6
 
 
 class TestMorphology:
