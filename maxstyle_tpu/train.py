@@ -171,7 +171,8 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
     if state is None:
         state = solver.init_state(prng.fold_name(root_key, "init"), crop_hw,
                                   batch_size=L.batch_size)
-    step = make_train_step(solver)
+    from maxstyle_tpu.train_step import make_fused_train_step
+    step = make_fused_train_step(solver, policy, keep_orig)
     loader = HostBatchLoader(train_set, cfg.train_batch_size, seed=seed)
     val_loader = HostBatchLoader(validate_set, L.batch_size, seed=seed,
                                  drop_last=False, shuffle=False)
@@ -191,9 +192,9 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
                 if debug and i_iter > 20:
                     break
                 k = jax.random.fold_in(prng.fold_name(root_key, "step"), g_count)
-                batch = make_device_batch(raw, jax.random.fold_in(k, 0),
-                                          policy, crop_hw, keep_orig)
-                state, metrics = step(state, batch, jax.random.fold_in(k, 1))
+                raw_dev = {"image": jnp.asarray(raw["image"]),
+                           "label": jnp.asarray(raw["label"])}
+                state, metrics = step(state, raw_dev, k)
                 logger.log_step(metrics)
                 g_count += 1
                 if i_iter > L.max_iteration:

@@ -134,3 +134,55 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
     if jit_compile:
         return jax.jit(step, donate_argnums=(0,))
     return step
+
+
+def make_fused_train_step(solver: TripletSegmentationSolver, aug_policy,
+                          keep_orig: bool, jit_compile: bool = True):
+    """Augmentation + training in ONE dispatch: takes RAW padded slices
+    [N,H,W] and performs the device-side augment (aug pair + norm pair
+    concat, train.make_device_batch) inside the same XLA program as the
+    optimizer step — halving per-iteration dispatch overhead, which
+    dominates once the step itself is ~ms-scale."""
+    from maxstyle_tpu.data import augment as A
+    base_step = make_train_step(solver, jit_compile=False)
+    crop_hw = aug_policy.crop_hw
+
+    def fused(state: TrainState, raw: Dict[str, jnp.ndarray], rng: jax.Array):
+        k_aug, k_step = jax.random.split(rng)
+        keys = jax.random.split(k_aug, raw["image"].shape[0])
+        img, lab = jax.vmap(lambda k, i, l: A.augment_pair(k, i, l, aug_policy))(
+            keys, raw["image"].astype(jnp.float32), raw["label"])
+        batch = {"image": img[..., None], "label": lab}
+        if keep_orig:
+            oi, ol = jax.vmap(lambda i, l: A.center_crop_norm(i, l, crop_hw))(
+                raw["image"].astype(jnp.float32), raw["label"])
+            batch = {"image": jnp.concatenate([batch["image"], oi[..., None]], 0),
+                     "label": jnp.concatenate([batch["label"], ol], 0)}
+        return base_step(state, batch, k_step)
+
+    if jit_compile:
+        return jax.jit(fused, donate_argnums=(0,))
+    return fused
+
+
+def make_multi_step(solver: TripletSegmentationSolver, aug_policy,
+                    keep_orig: bool, n_inner: int = 4):
+    """lax.scan over `n_inner` pre-stacked raw batches: one dispatch per
+    `n_inner` optimizer steps. Input: raw batches stacked on a leading axis
+    ({'image': [K,N,H,W], 'label': [K,N,H,W]})."""
+    fused = make_fused_train_step(solver, aug_policy, keep_orig,
+                                  jit_compile=False)
+
+    def multi(state: TrainState, raw_stack, rng: jax.Array):
+        def body(carry, inp):
+            st = carry
+            raw, k = inp
+            st, metrics = fused(st, raw, k)
+            return st, metrics
+
+        keys = jax.random.split(rng, n_inner)
+        state, metrics = jax.lax.scan(body, state, (raw_stack, keys))
+        # report the mean over the scanned steps
+        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m), metrics)
+
+    return jax.jit(multi, donate_argnums=(0,))
