@@ -1,0 +1,152 @@
+"""Import reference PyTorch checkpoints into this framework's parameters.
+
+The reference saves per-module state dicts ({image_encoder, image_decoder,
+segmentation_decoder, ...}.pth — advanced_triplet…save_model:936-948). This
+module converts them to the Flax parameter/batch-stats trees of the
+equivalent modules here, so users of the reference can carry trained models
+over directly (and so tests can prove numerical parity against the
+pretrained decoder fixtures shipped in the reference's notebooks).
+
+Layout conversions:
+  conv weight        (O,I,kh,kw)  -> kernel (kh,kw,I,O)
+  conv-transpose w.  (I,O,kh,kw)  -> kernel (kh,kw,I,O)  [flax ConvTranspose]
+  batchnorm          weight/bias/running_mean/running_var ->
+                     params {scale,bias} + batch_stats {mean,var}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv(sd, name):
+    w = np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)
+    out = {"kernel": w}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _conv_transpose(sd, name):
+    # torch ConvTranspose2d weight: (in, out, kh, kw) -> flax (kh, kw, in, out)
+    w = np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 0, 1)
+    # torch's transposed conv correlates with the kernel flipped relative to
+    # flax's gather formulation — flip the spatial taps
+    w = w[::-1, ::-1].copy()
+    out = {"kernel": w}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _bn(sd, name) -> Tuple[dict, dict]:
+    params = {"scale": np.asarray(sd[f"{name}.weight"]),
+              "bias": np.asarray(sd[f"{name}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{name}.running_mean"]),
+             "var": np.asarray(sd[f"{name}.running_var"])}
+    return params, stats
+
+
+def _norm2d(sd, name) -> Tuple[dict, dict]:
+    """Norm2d wraps a single BatchNorm child named BatchNorm_0."""
+    p, s = _bn(sd, name)
+    return {"BatchNorm_0": p}, {"BatchNorm_0": s}
+
+
+def convert_res_up(sd, prefix: str, up_type: str) -> Tuple[dict, dict]:
+    """res_up_family block (encoder_decoder.py:289-357): torch children
+    up(.weight for Conv2/Conv4), conv.0/1/3/4, conv_input."""
+    params: Dict = {}
+    stats: Dict = {}
+    if f"{prefix}.up.weight" in sd:
+        params["up"] = {"ConvTranspose_0": _conv_transpose(sd, f"{prefix}.up")}
+    params["conv1"] = _conv(sd, f"{prefix}.conv.0")
+    params["norm1"], stats["norm1"] = _norm2d(sd, f"{prefix}.conv.1")
+    params["conv2"] = _conv(sd, f"{prefix}.conv.3")
+    params["norm2"], stats["norm2"] = _norm2d(sd, f"{prefix}.conv.4")
+    params["conv_input"] = _conv(sd, f"{prefix}.conv_input")
+    return params, stats
+
+
+def convert_res_down(sd, prefix: str) -> Tuple[dict, dict]:
+    """res_convdown block (encoder_decoder.py:22-74)."""
+    params: Dict = {"down": _conv(sd, f"{prefix}.down")}
+    stats: Dict = {}
+    params["conv1"] = _conv(sd, f"{prefix}.conv.0")
+    params["norm1"], stats["norm1"] = _norm2d(sd, f"{prefix}.conv.1")
+    params["conv2"] = _conv(sd, f"{prefix}.conv.3")
+    params["norm2"], stats["norm2"] = _norm2d(sd, f"{prefix}.conv.4")
+    params["conv_input"] = _conv(sd, f"{prefix}.conv_input")
+    return params, stats
+
+
+def convert_decoder(sd, up_type: str = "NN") -> Tuple[dict, dict]:
+    """MyDecoder (encoder_decoder.py:561-631) -> models.Decoder variables."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(1, 5):
+        p, s = convert_res_up(sd, f"up{i}", up_type)
+        params[f"up{i}"] = p
+        stats[f"up{i}"] = s
+    params["final_conv"] = _conv(sd, "final_conv")
+    return params, stats
+
+
+def convert_encoder(sd, prefix: str = "") -> Tuple[dict, dict]:
+    """MyEncoder (encoder_decoder.py:423-482) -> models.Encoder variables."""
+    pre = f"{prefix}." if prefix else ""
+    params: Dict = {"inc": {}}
+    stats: Dict = {"inc": {}}
+    params["inc"]["conv1"] = _conv(sd, f"{pre}inc.0")
+    params["inc"]["norm1"], stats["inc"]["norm1"] = _norm2d(sd, f"{pre}inc.1")
+    params["inc"]["conv2"] = _conv(sd, f"{pre}inc.3")
+    params["inc"]["norm2"], stats["inc"]["norm2"] = _norm2d(sd, f"{pre}inc.4")
+    for i in range(1, 5):
+        p, s = convert_res_down(sd, f"{pre}down{i}")
+        params[f"down{i}"] = p
+        stats[f"down{i}"] = s
+    params["final_conv"] = _conv(sd, f"{pre}final_conv.0")
+    params["final_norm"], stats["final_norm"] = _norm2d(sd, f"{pre}final_conv.1")
+    return params, stats
+
+
+def convert_code_decoupler(sd, prefix: str = "code_decoupler") -> Tuple[dict, dict]:
+    params: Dict = {"conv1": _conv(sd, f"{prefix}.0")}
+    stats: Dict = {}
+    params["norm1"], stats["norm1"] = _norm2d(sd, f"{prefix}.1")
+    params["conv2"] = _conv(sd, f"{prefix}.3")
+    params["norm2"], stats["norm2"] = _norm2d(sd, f"{prefix}.4")
+    return params, stats
+
+
+def convert_dual_branch_encoder(sd) -> Tuple[dict, dict]:
+    """Dual_Branch_Encoder (encoder_decoder.py:634-680)."""
+    enc_p, enc_s = convert_encoder(sd, "general_encoder")
+    dec_p, dec_s = convert_code_decoupler(sd)
+    return ({"general_encoder": enc_p, "code_decoupler": dec_p},
+            {"general_encoder": enc_s, "code_decoupler": dec_s})
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "model_state" in sd:
+        sd = sd["model_state"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def import_module_checkpoint(path: str, module_name: str,
+                              spec=None) -> Tuple[dict, dict]:
+    """Load a reference `{module_name}.pth` into (params, batch_stats) for
+    the corresponding module of this framework."""
+    sd = load_torch_state_dict(path)
+    if module_name == "image_encoder":
+        return convert_dual_branch_encoder(sd)
+    if module_name in ("image_decoder", "segmentation_decoder",
+                       "shape_decoder"):
+        return convert_decoder(sd)
+    if module_name == "shape_encoder":
+        return convert_encoder(sd)
+    raise ValueError(module_name)
