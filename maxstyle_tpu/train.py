@@ -158,7 +158,8 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
                   model_dir: str, log_dir: Optional[str] = None,
                   seed: Optional[int] = None, log: bool = False,
                   debug: bool = False, start_epoch: int = 0,
-                  state=None, max_epochs: Optional[int] = None):
+                  state=None, max_epochs: Optional[int] = None,
+                  inner_steps: int = 1):
     """The epoch loop (train_adv…train_network:92-584). Returns final state."""
     L = cfg.learning
     d = cfg.data
@@ -171,8 +172,16 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
     if state is None:
         state = solver.init_state(prng.fold_name(root_key, "init"), crop_hw,
                                   batch_size=L.batch_size)
-    from maxstyle_tpu.train_step import make_fused_train_step
-    step = make_fused_train_step(solver, policy, keep_orig)
+    from maxstyle_tpu.train_step import make_fused_train_step, make_multi_step
+    if inner_steps > 1:
+        multi = make_multi_step(solver, policy, keep_orig, n_inner=inner_steps)
+
+        def step(st, raw_list, rng):
+            stacked = {k: np.stack([r[k] for r in raw_list])
+                       for k in raw_list[0]}
+            return multi(st, jax.tree_util.tree_map(jnp.asarray, stacked), rng)
+    else:
+        step = make_fused_train_step(solver, policy, keep_orig)
     loader = HostBatchLoader(train_set, cfg.train_batch_size, seed=seed)
     val_loader = HostBatchLoader(validate_set, L.batch_size, seed=seed,
                                  drop_last=False, shuffle=False)
@@ -188,15 +197,24 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
             last_epoch = epoch
             t0 = time.time()
             from maxstyle_tpu.data.prefetch import prefetch
+            pending = []
             for i_iter, raw in enumerate(prefetch(loader, depth=2)):
                 if debug and i_iter > 20:
                     break
                 k = jax.random.fold_in(prng.fold_name(root_key, "step"), g_count)
-                raw_dev = {"image": jnp.asarray(raw["image"]),
-                           "label": jnp.asarray(raw["label"])}
-                state, metrics = step(state, raw_dev, k)
+                if inner_steps > 1:
+                    pending.append(raw)
+                    if len(pending) < inner_steps:
+                        continue
+                    state, metrics = step(state, pending, k)
+                    pending = []
+                    g_count += inner_steps
+                else:
+                    raw_dev = {"image": jnp.asarray(raw["image"]),
+                               "label": jnp.asarray(raw["label"])}
+                    state, metrics = step(state, raw_dev, k)
+                    g_count += 1
                 logger.log_step(metrics)
-                g_count += 1
                 if i_iter > L.max_iteration:
                     stop = True
             dt = time.time() - t0
@@ -239,6 +257,9 @@ def main(argv=None):
     parser.add_argument("--resume_ckpt_path", type=str, default=None,
                         help="model_dir containing an orbax checkpoint to resume")
     parser.add_argument("--test_model_dir_path", type=str, default=None)
+    parser.add_argument("--torch_ckpt_dir", type=str, default=None,
+                        help="directory of reference per-module .pth files "
+                             "to import (migration from the PyTorch impl)")
     parser.add_argument("--save_dir", type=str, default="./saved/")
     parser.add_argument("--log", action="store_true", default=True)
     parser.add_argument("--seed", type=int, default=None)
@@ -249,6 +270,9 @@ def main(argv=None):
     parser.add_argument("--test_batch_size", type=int, default=25)
     parser.add_argument("--no_train", action="store_true", default=False)
     parser.add_argument("--use_last_epoch", action="store_true", default=False)
+    parser.add_argument("--inner_steps", type=int, default=1,
+                        help="optimizer steps per XLA dispatch (lax.scan); "
+                             ">1 amortizes host dispatch on fast steps")
     opt = parser.parse_args(argv)
 
     cfg = ExperimentConfig.from_json(opt.json_config_path)
@@ -267,6 +291,22 @@ def main(argv=None):
 
     state = None
     start_epoch = 0
+    if opt.torch_ckpt_dir:
+        from maxstyle_tpu.utils.torch_import import import_module_checkpoint
+        state = solver.init_state(prng.make_key(0),
+                                  (cfg.crop_hw[0], cfg.crop_hw[1]),
+                                  batch_size=cfg.learning.batch_size)
+        import jax.numpy as _jnp
+        new_params = dict(state.params)
+        new_stats = dict(state.batch_stats)
+        for name in state.params:
+            path = os.path.join(opt.torch_ckpt_dir, f"{name}.pth")
+            if os.path.exists(path):
+                p, s = import_module_checkpoint(path, name, solver.spec)
+                new_params[name] = jax.tree_util.tree_map(_jnp.asarray, p)
+                new_stats[name] = jax.tree_util.tree_map(_jnp.asarray, s)
+                print(f"imported torch weights for {name}")
+        state = state.replace(params=new_params, batch_stats=new_stats)
     if opt.resume_ckpt_path:
         template = solver.init_state(prng.make_key(0),
                                      (cfg.crop_hw[0], cfg.crop_hw[1]),
@@ -282,7 +322,7 @@ def main(argv=None):
                                  validate_set, cfg, model_dir=model_dir,
                                  log_dir=log_dir, seed=opt.seed, log=opt.log,
                                  debug=opt.debug, start_epoch=start_epoch,
-                                 state=state)
+                                 state=state, inner_steps=opt.inner_steps)
 
     if opt.auto_test:
         from maxstyle_tpu.evaluate import auto_test
