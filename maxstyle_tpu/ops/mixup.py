@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from maxstyle_tpu import losses, prng
+from maxstyle_tpu import losses
 
 
 class MixupDraw(NamedTuple):

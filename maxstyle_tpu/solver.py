@@ -26,7 +26,6 @@ model_util._disable_tracking_bn_stats:468-510) becomes explicit:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -40,7 +39,7 @@ from maxstyle_tpu.config import ExperimentConfig, MaxStyleConfig
 from maxstyle_tpu.models.registry import NetworkSpec, build_modules, parse_network_type
 from maxstyle_tpu.models.encoder_decoder import decoder_style_channels
 from maxstyle_tpu.ops import maxstyle as ms
-from maxstyle_tpu.ops.intensity import intensity_norm_fn, rescale_intensity, z_score_intensity
+from maxstyle_tpu.ops.intensity import intensity_norm_fn
 
 
 @struct.dataclass

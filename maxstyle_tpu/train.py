@@ -32,11 +32,9 @@ from maxstyle_tpu import prng
 from maxstyle_tpu.config import ExperimentConfig
 from maxstyle_tpu.data import augment as A
 from maxstyle_tpu.data.datasets import (HostBatchLoader, build_acdc_dataset,
-                                        build_general_dataset,
                                         build_prostate_dataset)
-from maxstyle_tpu.metrics import RunningScore, print_metric
+from maxstyle_tpu.metrics import RunningScore
 from maxstyle_tpu.solver import TripletSegmentationSolver
-from maxstyle_tpu.train_step import LOSS_KEYS, make_train_step
 from maxstyle_tpu.utils import checkpoint as ckpt
 
 

@@ -13,15 +13,13 @@ Loss channel names mirror the reference's TensorBoard keys
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from maxstyle_tpu import losses, prng
-from maxstyle_tpu.config import ExperimentConfig
-from maxstyle_tpu.ops.intensity import rescale_intensity, z_score_intensity
+from maxstyle_tpu import prng
 from maxstyle_tpu.solver import TrainState, TripletSegmentationSolver
 
 LOSS_KEYS = (

@@ -1,0 +1,64 @@
+"""Coverage for the long tail of the network_type grammar: code-filter UNet,
+Unet_im_recon (UnetDecoder image branch over the skip pyramid), and the
+UNETR transformer family inside the solver."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from maxstyle_tpu.solver import TripletSegmentationSolver
+from maxstyle_tpu.train_step import make_train_step
+from tests.test_train_step import small_config, synthetic_batch
+
+
+def with_network(cfg, network_type):
+    return dataclasses.replace(
+        cfg, segmentation_model=dataclasses.replace(
+            cfg.segmentation_model, network_type=network_type))
+
+
+class TestUnetVariants:
+    def test_code_filter_unet_step(self):
+        cfg = with_network(small_config(), "Unet_16_enable_code_filter")
+        solver = TripletSegmentationSolver(cfg)
+        assert solver.spec.unet_code_filter
+        state = solver.init_state(jax.random.key(0), (64, 64), batch_size=4)
+        step = make_train_step(solver)
+        _, metrics = step(state, synthetic_batch(jax.random.key(1)),
+                          jax.random.key(2))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+
+    def test_unet_im_recon_maxstyle_generation(self):
+        cfg = with_network(small_config(max_style=True), "Unet_16_Unet_im_recon")
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (64, 64), batch_size=4)
+        batch = synthetic_batch(jax.random.key(1))
+
+        @jax.jit
+        def gen(params, stats, image, label, rng):
+            (z_i, _), _ = solver.encode_image(params, stats, image, mode="frozen")
+            return solver.generate_max_style_image(
+                params, stats, z_i, reference_segmentation=label,
+                ms_cfg=cfg.max_style, rng=rng)
+
+        out = gen(state.params, state.batch_stats, batch["image"],
+                  batch["label"], jax.random.key(7))
+        assert out.shape == batch["image"].shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_unetr_solver_forward(self):
+        cfg = with_network(small_config(), "UnetTransformer_16")
+        solver = TripletSegmentationSolver(cfg)
+        assert solver.spec.is_transformer
+        state = solver.init_state(jax.random.key(0), (64, 64), batch_size=2)
+
+        @jax.jit
+        def pred(params, stats, x):
+            return solver.predict(params, stats, x)
+
+        batch = synthetic_batch(jax.random.key(1), n=2, hw=64)
+        out = pred(state.params, state.batch_stats, batch["image"])
+        assert out.shape == (2, 64, 64, 4)
