@@ -157,7 +157,7 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
                   seed: Optional[int] = None, log: bool = False,
                   debug: bool = False, start_epoch: int = 0,
                   state=None, max_epochs: Optional[int] = None,
-                  inner_steps: int = 1):
+                  inner_steps: int = 1, data_parallel: bool = False):
     """The epoch loop (train_adv…train_network:92-584). Returns final state."""
     L = cfg.learning
     d = cfg.data
@@ -171,7 +171,25 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
         state = solver.init_state(prng.fold_name(root_key, "init"), crop_hw,
                                   batch_size=L.batch_size)
     from maxstyle_tpu.train_step import make_fused_train_step, make_multi_step
-    if inner_steps > 1:
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        # SPMD data parallelism: state replicated, raw batch split on 'data';
+        # XLA all-reduces gradients over ICI (parallel/mesh.py)
+        from maxstyle_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        n_dev = mesh.shape[pmesh.DATA_AXIS]
+        assert cfg.train_batch_size % n_dev == 0, (
+            f"train batch {cfg.train_batch_size} must divide over "
+            f"{n_dev} devices")
+        state = pmesh.replicate(state, mesh)
+        raw_step = make_fused_train_step(solver, policy, keep_orig,
+                                         jit_compile=False)
+        sharded = pmesh.shard_train_step(raw_step, mesh)
+
+        def step(st, raw_dev, rng):
+            return sharded(st, pmesh.shard_batch(raw_dev, mesh),
+                           pmesh.replicate(rng, mesh))
+    elif inner_steps > 1:
         multi = make_multi_step(solver, policy, keep_orig, n_inner=inner_steps)
 
         def step(st, raw_list, rng):
@@ -271,6 +289,8 @@ def main(argv=None):
     parser.add_argument("--inner_steps", type=int, default=1,
                         help="optimizer steps per XLA dispatch (lax.scan); "
                              ">1 amortizes host dispatch on fast steps")
+    parser.add_argument("--data_parallel", action="store_true", default=False,
+                        help="shard the batch over all devices (SPMD DP)")
     opt = parser.parse_args(argv)
 
     cfg = ExperimentConfig.from_json(opt.json_config_path)
@@ -320,7 +340,8 @@ def main(argv=None):
                                  validate_set, cfg, model_dir=model_dir,
                                  log_dir=log_dir, seed=opt.seed, log=opt.log,
                                  debug=opt.debug, start_epoch=start_epoch,
-                                 state=state, inner_steps=opt.inner_steps)
+                                 state=state, inner_steps=opt.inner_steps,
+                                 data_parallel=opt.data_parallel)
 
     if opt.auto_test:
         from maxstyle_tpu.evaluate import auto_test
