@@ -52,6 +52,8 @@ _DEFAULT_FORMATS = {
 class TestSegmentationNetwork:
     """Patient-wise volumetric evaluation loop."""
 
+    __test__ = False  # not a pytest class (name mirrors the reference API)
+
     def __init__(self, solver, state, dataset: SliceDataset, *,
                  maximum_batch_size: int = 25, n_iter: int = 1,
                  metrics_list: Sequence[str] = ("Dice",),

@@ -129,6 +129,53 @@ def convert_dual_branch_encoder(sd) -> Tuple[dict, dict]:
             {"general_encoder": enc_s, "code_decoupler": dec_s})
 
 
+def convert_double_conv(sd, prefix: str) -> Tuple[dict, dict]:
+    """unet_parts.double_conv (:41-67): Sequential conv-norm-act-conv-norm-act
+    -> DoubleConv {conv1, norm1, conv2, norm2}."""
+    params: Dict = {"conv1": _conv(sd, f"{prefix}.0")}
+    stats: Dict = {}
+    params["norm1"], stats["norm1"] = _norm2d(sd, f"{prefix}.1")
+    params["conv2"] = _conv(sd, f"{prefix}.3")
+    params["norm2"], stats["norm2"] = _norm2d(sd, f"{prefix}.4")
+    return params, stats
+
+
+def convert_unet_encoder(sd) -> Tuple[dict, dict]:
+    """segmentation_models.UnetEncoder (unet.py:15-63): inc.conv.conv,
+    down{i}.mpconv.1.conv (Sequential[maxpool, double_conv])."""
+    params: Dict = {}
+    stats: Dict = {}
+    p, s = convert_double_conv(sd, "inc.conv.conv")
+    params["inc"], stats["inc"] = p, s
+    for i in range(1, 5):
+        p, s = convert_double_conv(sd, f"down{i}.mpconv.1.conv")
+        params[f"down{i}"] = {"conv": p}
+        stats[f"down{i}"] = {"conv": s}
+    # optional per-level CodeFilters (unet.py:25-36)
+    if "code_filter_1.code_decoupler.0.weight" in sd:
+        for i in range(1, 6):
+            p, s = convert_code_decoupler(sd, f"code_filter_{i}.code_decoupler")
+            params[f"code_filters_{i - 1}"] = p
+            stats[f"code_filters_{i - 1}"] = s
+    return params, stats
+
+
+def convert_unet_decoder(sd, up_type: str = "bilinear") -> Tuple[dict, dict]:
+    """segmentation_models.UnetDecoder (unet.py:65-136): up{i}.conv.conv
+    double convs (+ up{i}.up for Conv2), outc.conv 1x1."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(1, 5):
+        p, s = convert_double_conv(sd, f"up{i}.conv.conv")
+        block: Dict = {"conv": p}
+        if f"up{i}.up.weight" in sd:
+            block["ConvTranspose_0"] = _conv_transpose(sd, f"up{i}.up")
+        params[f"up{i}"] = block
+        stats[f"up{i}"] = {"conv": s}
+    params["outc"] = _conv(sd, "outc.conv")
+    return params, stats
+
+
 def load_torch_state_dict(path: str) -> dict:
     import torch
     sd = torch.load(path, map_location="cpu")
