@@ -108,6 +108,42 @@ def _project_field(field: jnp.ndarray, epsilon: float) -> jnp.ndarray:
     return epsilon * field / (mx + 1e-10)
 
 
+def compose_adversarial_attack(forward_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                               image: jnp.ndarray, init_output: jnp.ndarray, *,
+                               transforms=("noise",), key: jax.Array,
+                               n_iter: int = 1,
+                               divergence_types=("kl",),
+                               divergence_weights=(1.0,),
+                               if_norm_image: bool = True,
+                               downscale: int = 2):
+    """Chain of adversarial transforms applied sequentially — the
+    ComposeAdversarialTransformSolver surface (advchain; used with
+    single-element chains at the reference call sites,
+    train_adv…:444,501). Each transform attacks the CURRENT image;
+    the returned consistency is measured on the final composition."""
+    sg = jax.lax.stop_gradient
+    x = image
+    for i, t in enumerate(transforms):
+        k = jax.random.fold_in(key, i)
+        if t == "noise":
+            x, _ = adv_noise_attack(forward_fn, x, init_output, n_iter=n_iter,
+                                    key=k, if_norm_image=if_norm_image)
+        elif t == "bias":
+            x, _ = adv_bias_attack(forward_fn, x, init_output, n_iter=n_iter,
+                                   key=k, downscale=downscale,
+                                   divergence_types=divergence_types,
+                                   divergence_weights=divergence_weights,
+                                   if_norm_image=if_norm_image)
+        else:
+            raise NotImplementedError(t)
+    x = sg(x)
+    consistency = losses.segmentation_consistency(
+        output=forward_fn(x), reference=sg(init_output),
+        divergence_types=divergence_types,
+        divergence_weights=divergence_weights)
+    return x, consistency
+
+
 def adv_bias_attack(forward_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     image: jnp.ndarray, init_output: jnp.ndarray, *,
                     epsilon: float = 0.4, downscale: int = 2, n_iter: int = 1,
