@@ -86,18 +86,27 @@ def make_device_batch(raw_batch: Dict[str, np.ndarray], key: jax.Array,
     return {"image": aug_img, "label": aug_lab}
 
 
-def eval_model(solver, state, val_loader, policy, crop_hw, key,
-               n_iter: int = 2):
-    """Per-epoch validation: augmented val batches -> RunningScore mIoU
-    (train_adv…eval_model:76-89; note the reference also evaluates on
-    randomly-augmented validation samples)."""
-    running = RunningScore(solver.num_classes)
+def make_eval_predict(solver, n_iter: int = 2):
+    """Jitted validation predictor, built ONCE per run (a fresh closure per
+    epoch would recompile every epoch)."""
 
     @jax.jit
     def predict(params, stats, x):
         logits = solver.predict(params, stats, x, n_iter=n_iter,
                                 normalize_input=True)
         return jnp.argmax(logits, axis=-1)
+
+    return predict
+
+
+def eval_model(solver, state, val_loader, policy, crop_hw, key,
+               n_iter: int = 2, predict=None):
+    """Per-epoch validation: augmented val batches -> RunningScore mIoU
+    (train_adv…eval_model:76-89; note the reference also evaluates on
+    randomly-augmented validation samples)."""
+    running = RunningScore(solver.num_classes)
+    if predict is None:
+        predict = make_eval_predict(solver, n_iter)
 
     for i, raw in enumerate(val_loader):
         batch = make_device_batch(raw, jax.random.fold_in(key, i), policy,
@@ -201,6 +210,7 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
     loader = HostBatchLoader(train_set, cfg.train_batch_size, seed=seed)
     val_loader = HostBatchLoader(validate_set, L.batch_size, seed=seed,
                                  drop_last=False, shuffle=False)
+    eval_predict = make_eval_predict(solver)
     logger = ScalarLogger(log_dir, log)
 
     best_score = -1e9
@@ -236,7 +246,8 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
             dt = time.time() - t0
             val_iou, val_acc = eval_model(
                 solver, state, val_loader, policy, crop_hw,
-                jax.random.fold_in(prng.fold_name(root_key, "val"), epoch))
+                jax.random.fold_in(prng.fold_name(root_key, "val"), epoch),
+                predict=eval_predict)
             logger.log_epoch(epoch, val_iou, val_acc)
             print(f"{experiment_name} epoch {epoch}: val mIoU {val_iou:.4f} "
                   f"acc {val_acc:.4f} ({dt:.1f}s)")
