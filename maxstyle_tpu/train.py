@@ -126,6 +126,7 @@ class ScalarLogger:
         self.totals: Dict[str, float] = {}
         self.count = 0
         self.history = []
+        self._pending = []
         self.writer = None
         if enabled and log_dir:
             os.makedirs(log_dir, exist_ok=True)
@@ -139,14 +140,24 @@ class ScalarLogger:
             self.log_dir = None
 
     def log_step(self, metrics: Dict[str, jnp.ndarray]):
+        # keep device arrays — converting here would force a device sync per
+        # scalar per step; everything is fetched in one transfer at epoch end
         self.count += 1
-        for k, v in metrics.items():
-            self.totals[k] = self.totals.get(k, 0.0) + float(v)
-            if self.writer is not None:
-                self.writer.add_scalar(k, self.totals[k] / self.count, self.count)
+        self._pending.append(metrics)
+
+    def _drain(self):
+        if self._pending:
+            host = jax.device_get(self._pending)
+            for step_metrics in host:
+                for k, v in step_metrics.items():
+                    self.totals[k] = self.totals.get(k, 0.0) + float(v)
+            self._pending = []
 
     def log_epoch(self, epoch: int, val_iou: float, val_acc: float):
+        self._drain()
         if self.writer is not None:
+            for k, v in self.totals.items():
+                self.writer.add_scalar(k, v / max(self.count, 1), epoch)
             self.writer.add_scalar("iou/val_iou", val_iou, epoch)
             self.writer.add_scalar("acc/val_acc", val_acc, epoch)
         self.history.append({"epoch": epoch, "val_iou": val_iou,
