@@ -184,16 +184,48 @@ def load_torch_state_dict(path: str) -> dict:
     return {k: v.numpy() for k, v in sd.items()}
 
 
-def import_module_checkpoint(path: str, module_name: str,
+def convert_module_state_dict(sd: dict, module_name: str,
                               spec=None) -> Tuple[dict, dict]:
-    """Load a reference `{module_name}.pth` into (params, batch_stats) for
-    the corresponding module of this framework."""
-    sd = load_torch_state_dict(path)
+    """Dispatch a single module's state dict to its converter."""
+    is_unet = spec is not None and getattr(spec, "is_unet", False)
     if module_name == "image_encoder":
+        if is_unet:
+            return convert_unet_encoder(sd)
         return convert_dual_branch_encoder(sd)
+    if module_name == "segmentation_decoder" and is_unet:
+        return convert_unet_decoder(sd)
     if module_name in ("image_decoder", "segmentation_decoder",
                        "shape_decoder"):
         return convert_decoder(sd)
     if module_name == "shape_encoder":
         return convert_encoder(sd)
     raise ValueError(module_name)
+
+
+def import_module_checkpoint(path: str, module_name: str,
+                              spec=None) -> Tuple[dict, dict]:
+    """Load a reference `{module_name}.pth` into (params, batch_stats) for
+    the corresponding module of this framework."""
+    return convert_module_state_dict(load_torch_state_dict(path),
+                                     module_name, spec)
+
+
+def import_snapshot(path: str, spec=None):
+    """Import a reference monolithic interrupt snapshot
+    (advanced_triplet…save_snapshots:961-980: {network_type, epoch,
+    model_state: {module: sd}, optimizer_state}) -> (params, batch_stats,
+    meta). Optimizer state is NOT carried over (torch Adam moments don't map
+    onto optax pytrees 1:1; resume restarts the optimizer like the
+    reference's best-checkpoint path does)."""
+    import torch
+    snap = torch.load(path, map_location="cpu")
+    params: Dict = {}
+    stats: Dict = {}
+    for name, sd in snap["model_state"].items():
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        p, s = convert_module_state_dict(sd_np, name, spec)
+        params[name] = p
+        stats[name] = s
+    meta = {"epoch": int(snap.get("epoch", 0)),
+            "network_type": snap.get("network_type", "")}
+    return params, stats, meta
