@@ -1,0 +1,90 @@
+"""Device-resident dataset training — zero host work per step.
+
+The reference's headline regimes are LOW-DATA (10-subject ACDC ≈ a few
+hundred 224² slices ≈ tens of MB): the entire training set fits in HBM with
+room to spare. This module uploads all raw padded slices once and runs the
+whole training loop on device — per-step batch sampling, augmentation, the
+MaxStyle inner loop and the optimizer update all inside one `lax.scan` —
+so the host only dispatches one call per K steps and the input pipeline
+cost is exactly zero. This is the TPU-native endgame of the reference's
+DataLoader+pin_memory+workers machinery (train_adv…:119-125).
+
+Batch sampling: each step draws `half_batch` slice indices without
+replacement from a fresh per-step permutation (matching the statistics of
+epoch-shuffled sampling; the reference's global epoch permutation is a
+host-side construct with no device equivalent worth the complexity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceDataset:
+    """All (padded) training slices as device arrays."""
+
+    def __init__(self, images: jnp.ndarray, labels: jnp.ndarray):
+        assert images.ndim == 3 and labels.ndim == 3
+        self.images = images
+        self.labels = labels
+
+    @classmethod
+    def from_slice_dataset(cls, ds) -> "DeviceDataset":
+        imgs, labs = [], []
+        for i in range(len(ds)):
+            img, lab, _ = ds.get_raw_slice(i)
+            imgs.append(img)
+            labs.append(lab)
+        return cls(jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(labs)))
+
+    def __len__(self):
+        return int(self.images.shape[0])
+
+
+def make_device_train_loop(solver, policy, keep_orig: bool, half_batch: int,
+                           steps_per_call: int = 32):
+    """Returns run(state, dataset, rng) -> (state, mean-metrics): executes
+    `steps_per_call` full optimizer steps per dispatch, sampling batches on
+    device from the resident dataset."""
+    from maxstyle_tpu.train_step import make_fused_train_step
+    fused = make_fused_train_step(solver, policy, keep_orig, jit_compile=False)
+
+    def run(state, images, labels, rng):
+        n = images.shape[0]
+
+        def body(carry, key):
+            st = carry
+            k_idx, k_step = jax.random.split(key)
+            idx = jax.random.permutation(k_idx, n)[:half_batch]
+            raw = {"image": jnp.take(images, idx, axis=0),
+                   "label": jnp.take(labels, idx, axis=0)}
+            st, metrics = fused(st, raw, k_step)
+            return st, metrics
+
+        keys = jax.random.split(rng, steps_per_call)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def train_device_resident(solver, state, dataset: DeviceDataset, policy,
+                          keep_orig: bool, half_batch: int, total_steps: int,
+                          rng: jax.Array, steps_per_call: int = 32,
+                          log_fn=None):
+    """Drive `total_steps` of device-resident training; returns final state
+    and the last metrics dict."""
+    run = make_device_train_loop(solver, policy, keep_orig, half_batch,
+                                 steps_per_call)
+    metrics = None
+    n_calls = -(-total_steps // steps_per_call)
+    for c in range(n_calls):
+        state, metrics = run(state, dataset.images, dataset.labels,
+                             jax.random.fold_in(rng, c))
+        if log_fn is not None:
+            log_fn(c, metrics)
+    return state, metrics
