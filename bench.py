@@ -4,14 +4,16 @@ Workload = the reference's headline training configuration
 (config/ACDC/1500_epoch/MICCAI2022_MaxStyle.json): dual-branch
 FCN_16_standard_no_STN, effective batch 20 (10 augmented + 10 original
 pairs), 192x192x1 inputs, AdamW 1e-4, MaxStyle inner loop Adam(0.1) x 5
-iterations on decoder layers [3,4,5].
+iterations on decoder layers [3,4,5]. Raw padded slices enter the device;
+on-device augmentation, standard triplet training, adversarial style
+generation and hard-example training run inside one jitted program with
+several optimizer steps per dispatch.
 
-Measured as the production pipeline executes it: raw padded slices enter the
-device; ON-DEVICE augmentation (affine/elastic/intensity chain), standard
-triplet training, adversarial style generation and hard-example training all
-run inside one jitted program, with 8 optimizer steps per dispatch
-(train_step.make_multi_step) so host dispatch overhead does not mask device
-throughput.
+Timing note: this host reaches the TPU through a tunnel where
+`jax.block_until_ready` does NOT reliably block on remote execution;
+every timed block therefore ends with a `jax.device_get` of a scalar that
+data-depends on the full step chain — the transfer cannot complete before
+the compute does.
 
 The reference publishes no throughput numbers (BASELINE.md), so
 `vs_baseline` is null; the steps/sec series across rounds is the regression
@@ -47,11 +49,15 @@ def main():
 
     multi = make_multi_step(solver, policy, keep_orig=True, n_inner=k_inner)
 
+    def barrier(metrics):
+        # hard sync: host transfer data-dependent on the whole chain
+        return float(jax.device_get(metrics["loss/total"]))
+
     # warmup/compile
     state, metrics = multi(state, raw, jax.random.key(10))
-    jax.block_until_ready(metrics)
+    barrier(metrics)
 
-    n_calls, n_repeats = 10, 3
+    n_calls, n_repeats = 2, 3
     rates = []
     for r in range(n_repeats):
         t0 = time.perf_counter()
@@ -59,16 +65,16 @@ def main():
             state, metrics = multi(state, raw,
                                    jax.random.fold_in(jax.random.key(11),
                                                       r * n_calls + i))
-        jax.block_until_ready(metrics)
+        barrier(metrics)
         rates.append(n_calls * k_inner / (time.perf_counter() - t0))
     rates.sort()
     steps_per_sec = rates[len(rates) // 2]  # median
 
     print(json.dumps({
         "metric": "maxstyle_train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 2),
+        "value": round(steps_per_sec, 3),
         "unit": ("steps/s (effective batch 20 @192x192, on-device aug, "
-                 "inner adv loop n_iter=5)"),
+                 "inner adv loop n_iter=5, device_get-barriered)"),
         "vs_baseline": None,
     }))
 
