@@ -163,11 +163,14 @@ def _affine_matrix(key: jax.Array, p: AugPolicy) -> jnp.ndarray:
 
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     # forward: scale @ shear @ rot (+flip); we build the inverse directly by
-    # inverting the 2x2 and negating the translation.
+    # inverting the 2x2 analytically (jnp.linalg.inv lowers to an LU scan on
+    # TPU — pathologically slow for tiny matrices) and negating translation.
     fwd = jnp.array([[zy * cos, -zy * (sin + shear)],
                      [zx * (sin + shear), zx * cos]])
     fwd = fwd @ jnp.array([[fv, 0.0], [0.0, fh]])
-    inv = jnp.linalg.inv(fwd)
+    det = fwd[0, 0] * fwd[1, 1] - fwd[0, 1] * fwd[1, 0]
+    inv = jnp.array([[fwd[1, 1], -fwd[0, 1]],
+                     [-fwd[1, 0], fwd[0, 0]]]) / det
     t = jnp.array([ty * p.pad_hw[0], tx * p.pad_hw[1]])
     inv_t = -inv @ t
     return jnp.concatenate([inv, inv_t[:, None]], axis=1)  # [2,3]
@@ -278,9 +281,11 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
                                        maxval=p.elastic_sigma_range[1])
         dy_full, dx_full = _fft_gaussian_field(keys[6], (H, W), sigma, alpha)
         gate = jnp.where(do_el, 1.0, 0.0)
-        # displacement looked up at the (pre-affine) target positions
-        dy = _sample_bilinear(dy_full, ty, tx) * gate
-        dx = _sample_bilinear(dx_full, ty, tx) * gate
+        # displacement is read at the (pre-affine) target positions, which
+        # form a regular integer grid (iota + crop offset) — a dynamic_slice,
+        # NOT a gather (TPU gathers are ~100x slower than slices)
+        dy = jax.lax.dynamic_slice(dy_full, (oy, ox), (h, w)) * gate
+        dx = jax.lax.dynamic_slice(dx_full, (oy, ox), (h, w)) * gate
         sy = sy + dy
         sx = sx + dx
 
