@@ -86,6 +86,9 @@ class LearningConfig:
     rec_loss_type: str = "l2"
     class_weights: Optional[Tuple[float, ...]] = None
     separate_training: bool = False
+    # activation/compute dtype: 'auto' = bfloat16 on TPU, float32 elsewhere;
+    # params, optimizer state and BN running stats are ALWAYS float32
+    compute_dtype: str = "auto"  # auto | bfloat16 | float32
     # method flags
     max_style: bool = False
     latent_DA: bool = False
@@ -110,6 +113,7 @@ class LearningConfig:
             rec_loss_type=_get(d, "rec_loss_type", "l2"),
             class_weights=_tup(_get(d, "class_weights")),
             separate_training=_get(d, "separate_training", False),
+            compute_dtype=_get(d, "compute_dtype", "auto"),
             max_style=_get(d, "max_style", False),
             latent_DA=_get(d, "latent_DA", False),
             rand_conv=_get(d, "rand_conv", False),

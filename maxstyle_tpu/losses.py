@@ -23,6 +23,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def _f32(x):
+    """Losses are computed in float32: under the bf16 mixed-precision policy
+    model outputs arrive as bfloat16 and log/softmax/reduction numerics must
+    not run at half precision."""
+    if x is not None and hasattr(x, "dtype") and x.dtype != jnp.float32 \
+            and jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(jnp.float32)
+    return x
+
 def one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """[N, H, W] int -> [N, H, W, C] float one-hot."""
     return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
@@ -43,6 +53,7 @@ def cross_entropy_2d(logits: jnp.ndarray, target: jnp.ndarray, weight=None,
     denominator under `size_average` is always N*H*W (the mask's numel), not
     the mask sum.
     """
+    logits, target = _f32(logits), _f32(target)
     n, h, w, c = logits.shape
     log_p = jax.nn.log_softmax(logits, axis=-1)
     denom = float(n * h * w)
@@ -88,6 +99,7 @@ def soft_dice_loss(logits: jnp.ndarray, target: jnp.ndarray, num_classes: int,
     smooth term moves outside the per-class sums to match the selective
     variant's arithmetic.
     """
+    logits, target = _f32(logits), _f32(target)
     b = logits.shape[0]
     probs = jax.nn.softmax(logits, axis=-1)
     if target.ndim == 3:
@@ -127,6 +139,7 @@ def focal_loss(logits: jnp.ndarray, target: jnp.ndarray, gamma: float = 2.0,
                alpha=None, size_average: bool = True) -> jnp.ndarray:
     """Focal loss (custom_loss.FocalLoss:412-445). `pt` is detached, matching
     the reference's `Variable(logpt.data.exp())`."""
+    logits = _f32(logits)
     c = logits.shape[-1]
     log_p = jax.nn.log_softmax(logits, axis=-1)
     logpt = jnp.take_along_axis(log_p, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
@@ -212,6 +225,9 @@ def contour_loss(probs: jnp.ndarray, target, num_classes: int | None = None,
                  mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sobel-gradient MSE over per-class probability maps
     (custom_loss.contour_loss:1120-1197)."""
+    probs = _f32(probs)
+    if not one_hot_target:
+        target = _f32(target)
     if one_hot_target:
         assert num_classes is not None
         tgt = one_hot(target.astype(jnp.int32), num_classes)
@@ -244,6 +260,7 @@ def kl_divergence(reference: jnp.ndarray, pred: jnp.ndarray,
     Both args are logits unless `is_gt` (then `reference` is a onehot map and
     the reference code uses p=1 on the support, log p = 0 elsewhere trick).
     """
+    reference, pred = _f32(reference), _f32(pred)
     if mask is None:
         mask = jnp.ones_like(pred)
     if not is_gt:
@@ -261,6 +278,7 @@ def js_divergence(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """JS divergence between two logit maps (custom_loss.calc_js_divergece:
     1230-1258). `batchmean` there divides by N*H*W after the NCHW→(NHW, C)
     reshape, i.e. a per-pixel mean of the class-summed KL."""
+    pred, target = _f32(pred), _f32(target)
     p = jax.nn.softmax(pred, axis=-1)
     q = jax.nn.softmax(target, axis=-1)
     m_log = jnp.log(jnp.clip(0.5 * (p + q), 1e-8, 1.0))
@@ -332,11 +350,11 @@ def segmentation_consistency(output: jnp.ndarray, reference: jnp.ndarray,
 
 def mse_recon_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """0.5 * mean squared error (advanced_triplet…:721-722)."""
-    return 0.5 * jnp.mean((pred - jax.lax.stop_gradient(target)) ** 2)
+    return 0.5 * jnp.mean((_f32(pred) - jax.lax.stop_gradient(_f32(target))) ** 2)
 
 
 def l1_recon_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.abs(pred - jax.lax.stop_gradient(target)))
+    return jnp.mean(jnp.abs(_f32(pred) - jax.lax.stop_gradient(_f32(target))))
 
 
 def normalized_cross_correlation(x: jnp.ndarray, y: jnp.ndarray,
@@ -373,7 +391,7 @@ def _gaussian_blur3(x: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
 def ngf_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Normalized-gradient-field recon loss (custom_loss.NGF_Loss:215-343):
     gaussian-smooth, Sobel gradients, per-axis NCC, 1 - mean."""
-    target = jax.lax.stop_gradient(target)
+    pred, target = _f32(pred), jax.lax.stop_gradient(_f32(target))
     gx_t, gy_t = _dense_sobel(_gaussian_blur3(target))
     gx_p, gy_p = _dense_sobel(_gaussian_blur3(pred))
     value = 0.5 * (normalized_cross_correlation(gx_t, gx_p)

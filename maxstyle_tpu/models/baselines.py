@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +25,15 @@ class ConvBNRelu(nn.Module):
     out_ch: int
     stride: int = 1
     kernel: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
-                    padding=self.kernel // 2,
+                    padding=self.kernel // 2, dtype=self.dtype,
                     kernel_init=layers.kaiming_normal_fan_in)(x)
-        x = layers.Norm2d("batch")(x, train=train)
+        x = layers.Norm2d("batch", dtype=self.dtype)(x, train=train)
         return nn.relu(x)
 
 
@@ -45,40 +46,42 @@ class FCN(nn.Module):
     num_classes: int = 4
     feature_scale: int = 1
     dropout: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
         fs = self.feature_scale
         f = [64 // fs, 128 // fs, 256 // fs, 512 // fs, 512 // fs]
-        l1 = ConvBNRelu(f[0])(ConvBNRelu(f[0])(x, train=train), train=train)
-        h = ConvBNRelu(f[1], stride=2)(l1, train=train)
-        l2 = ConvBNRelu(f[1])(h, train=train)
-        h = ConvBNRelu(f[2], stride=2)(l2, train=train)
-        h = ConvBNRelu(f[2])(h, train=train)
-        l3 = ConvBNRelu(f[2])(h, train=train)
-        h = ConvBNRelu(f[3], stride=2)(l3, train=train)
-        h = ConvBNRelu(f[3])(h, train=train)
-        l4 = ConvBNRelu(f[3])(h, train=train)
-        h = ConvBNRelu(f[4], stride=2)(l4, train=train)
-        h = ConvBNRelu(f[4])(h, train=train)
-        l5 = ConvBNRelu(f[4])(h, train=train)
+        l1 = ConvBNRelu(f[0], dtype=self.dtype)(ConvBNRelu(f[0], dtype=self.dtype)(x, train=train), train=train)
+        h = ConvBNRelu(f[1], stride=2, dtype=self.dtype)(l1, train=train)
+        l2 = ConvBNRelu(f[1], dtype=self.dtype)(h, train=train)
+        h = ConvBNRelu(f[2], stride=2, dtype=self.dtype)(l2, train=train)
+        h = ConvBNRelu(f[2], dtype=self.dtype)(h, train=train)
+        l3 = ConvBNRelu(f[2], dtype=self.dtype)(h, train=train)
+        h = ConvBNRelu(f[3], stride=2, dtype=self.dtype)(l3, train=train)
+        h = ConvBNRelu(f[3], dtype=self.dtype)(h, train=train)
+        l4 = ConvBNRelu(f[3], dtype=self.dtype)(h, train=train)
+        h = ConvBNRelu(f[4], stride=2, dtype=self.dtype)(l4, train=train)
+        h = ConvBNRelu(f[4], dtype=self.dtype)(h, train=train)
+        l5 = ConvBNRelu(f[4], dtype=self.dtype)(h, train=train)
 
         heads = [
-            ConvBNRelu(f[0])(l1, train=train),
-            _upsample(ConvBNRelu(f[0])(l2, train=train), 2),
-            _upsample(ConvBNRelu(f[0])(l3, train=train), 4),
-            _upsample(ConvBNRelu(f[0])(l4, train=train), 8),
-            _upsample(ConvBNRelu(f[0])(l5, train=train), 16),
+            ConvBNRelu(f[0], dtype=self.dtype)(l1, train=train),
+            _upsample(ConvBNRelu(f[0], dtype=self.dtype)(l2, train=train), 2),
+            _upsample(ConvBNRelu(f[0], dtype=self.dtype)(l3, train=train), 4),
+            _upsample(ConvBNRelu(f[0], dtype=self.dtype)(l4, train=train), 8),
+            _upsample(ConvBNRelu(f[0], dtype=self.dtype)(l5, train=train), 16),
         ]
-        agg = ConvBNRelu(64, kernel=1)(jnp.concatenate(heads, axis=-1), train=train)
+        agg = ConvBNRelu(64, kernel=1, dtype=self.dtype)(jnp.concatenate(heads, axis=-1), train=train)
         if self.dropout is not None:
             agg = layers.FixableDropout(self.dropout)(
                 agg, deterministic=deterministic_dropout)
-        agg = ConvBNRelu(64, kernel=1)(agg, train=train)
+        agg = ConvBNRelu(64, kernel=1, dtype=self.dtype)(agg, train=train)
         if self.dropout is not None:
             agg = layers.FixableDropout(self.dropout)(
                 agg, deterministic=deterministic_dropout)
-        return layers.conv1x1(self.num_classes, name="outS")(agg)
+        return layers.conv1x1(self.num_classes, name="outS",
+                              dtype=self.dtype)(agg)
 
 
 class ResConv(nn.Module):
@@ -87,15 +90,16 @@ class ResConv(nn.Module):
     out_ch: int
     norm: str = "batch"
     dropout: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
-        h = layers.conv3x3(self.out_ch, name="conv1")(x)
-        h = layers.Norm2d(self.norm, name="norm1")(h, train=train)
+        h = layers.conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = layers.lrelu(h)
-        h = layers.conv3x3(self.out_ch, name="conv2")(h)
-        h = layers.Norm2d(self.norm, name="norm2")(h, train=train)
-        res = layers.conv1x1(self.out_ch, name="conv_input")(x) + h
+        h = layers.conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(h)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
+        res = layers.conv1x1(self.out_ch, name="conv_input", dtype=self.dtype)(x) + h
         res = layers.lrelu(res)
         if self.dropout is not None:
             res = layers.FixableDropout(self.dropout)(
@@ -110,14 +114,16 @@ class ResConvUp(nn.Module):
     out_ch: int
     norm: str = "batch"
     dropout: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True,
                  deterministic_dropout: bool = False):
         x = nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2),
-                             padding="VALID", kernel_init=layers.normal_002)(x)
-        x = jnp.concatenate([skip, x], axis=-1)
-        return ResConv(self.out_ch, self.norm, self.dropout)(
+                             padding="VALID", kernel_init=layers.normal_002,
+                             dtype=self.dtype)(x)
+        x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+        return ResConv(self.out_ch, self.norm, self.dropout, dtype=self.dtype)(
             x, train=train, deterministic_dropout=deterministic_dropout)
 
 
@@ -128,24 +134,31 @@ class ResConvUNet(nn.Module):
     encoder_dropout: Optional[float] = None
     decoder_dropout: Optional[float] = None
     self_attention: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
         fs = self.feature_scale
+        d = self.dtype
         kw = dict(train=train, deterministic_dropout=deterministic_dropout)
-        x1 = ResConv(64 // fs, self.norm, self.encoder_dropout, name="inc")(x, **kw)
+        x1 = ResConv(64 // fs, self.norm, self.encoder_dropout, dtype=d,
+                     name="inc")(x, **kw)
         x2 = layers.ResConvDown(128 // fs, self.norm, self.encoder_dropout,
-                                name="down1")(x1, **kw)
+                                dtype=d, name="down1")(x1, **kw)
         x3 = layers.ResConvDown(256 // fs, self.norm, self.encoder_dropout,
-                                name="down2")(x2, **kw)
+                                dtype=d, name="down2")(x2, **kw)
         x4 = layers.ResConvDown(512 // fs, self.norm, self.encoder_dropout,
-                                name="down3")(x3, **kw)
+                                dtype=d, name="down3")(x3, **kw)
         x5 = layers.ResConvDown(512 // fs, self.norm, self.encoder_dropout,
-                                name="down4")(x4, **kw)
+                                dtype=d, name="down4")(x4, **kw)
         if self.self_attention:
             x5 = layers.SelfAttention2d(name="self_attn")(x5)
-        h = ResConvUp(256 // fs, self.norm, self.decoder_dropout, name="up1")(x5, x4, **kw)
-        h = ResConvUp(128 // fs, self.norm, self.decoder_dropout, name="up2")(h, x3, **kw)
-        h = ResConvUp(64 // fs, self.norm, self.decoder_dropout, name="up3")(h, x2, **kw)
-        h = ResConvUp(64 // fs, self.norm, self.decoder_dropout, name="up4")(h, x1, **kw)
-        return layers.conv1x1(self.num_classes, name="outc")(h)
+        h = ResConvUp(256 // fs, self.norm, self.decoder_dropout, dtype=d,
+                      name="up1")(x5, x4, **kw)
+        h = ResConvUp(128 // fs, self.norm, self.decoder_dropout, dtype=d,
+                      name="up2")(h, x3, **kw)
+        h = ResConvUp(64 // fs, self.norm, self.decoder_dropout, dtype=d,
+                      name="up3")(h, x2, **kw)
+        h = ResConvUp(64 // fs, self.norm, self.decoder_dropout, dtype=d,
+                      name="up4")(h, x1, **kw)
+        return layers.conv1x1(self.num_classes, name="outc", dtype=d)(h)

@@ -20,7 +20,7 @@ Channel schedule for feature_reduce=4: [128, 64, 32, 16, 16, out_ch]
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -51,6 +51,7 @@ class Encoder(nn.Module):
     dropout: Optional[float] = None
     act: Optional[str] = "relu"  # 'relu' | 'sigmoid' | None
     num_domains: int = 1
+    dtype: Any = None  # activation/compute dtype; params + BN stats stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = True, domain_id: int = 0,
@@ -60,30 +61,36 @@ class Encoder(nn.Module):
         r = self.feature_reduce
         kw = dict(train=train, domain_id=domain_id)
         x1 = layers.InConv(64 // r, self.norm, num_domains=self.num_domains,
-                           name="inc")(x, **kw)
+                           dtype=self.dtype, name="inc")(x, **kw)
         x1 = layers.lrelu(x1)
         x1 = _maybe_style(x1, style_fns, 1)
         down_kw = dict(train=train, domain_id=domain_id,
                        deterministic_dropout=deterministic_dropout)
         x2 = layers.ResConvDown(128 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, name="down1")(x1, **down_kw)
+                                num_domains=self.num_domains, dtype=self.dtype,
+                                name="down1")(x1, **down_kw)
         x2 = _maybe_style(x2, style_fns, 2)
         x3 = layers.ResConvDown(256 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, name="down2")(x2, **down_kw)
+                                num_domains=self.num_domains, dtype=self.dtype,
+                                name="down2")(x2, **down_kw)
         x3 = _maybe_style(x3, style_fns, 3)
         x4 = layers.ResConvDown(512 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, name="down3")(x3, **down_kw)
+                                num_domains=self.num_domains, dtype=self.dtype,
+                                name="down3")(x3, **down_kw)
         x4 = _maybe_style(x4, style_fns, 4)
         x5 = layers.ResConvDown(512 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, name="down4")(x4, **down_kw)
+                                num_domains=self.num_domains, dtype=self.dtype,
+                                name="down4")(x4, **down_kw)
         x5 = _maybe_style(x5, style_fns, 5)
 
-        z = layers.conv1x1(self.out_ch, name="final_conv")(x5)
+        z = layers.conv1x1(self.out_ch, name="final_conv", dtype=self.dtype)(x5)
         if self.num_domains > 1:
-            z = layers.DomainSpecificNorm2d(self.num_domains, name="final_norm")(
+            z = layers.DomainSpecificNorm2d(self.num_domains, dtype=self.dtype,
+                                            name="final_norm")(
                 z, domain_id=domain_id, train=train)
         else:
-            z = layers.Norm2d(self.norm, name="final_norm")(z, train=train)
+            z = layers.Norm2d(self.norm, dtype=self.dtype,
+                              name="final_norm")(z, train=train)
         if self.act == "relu":
             z = nn.relu(z)
         elif self.act == "sigmoid":
@@ -100,14 +107,17 @@ class CodeDecoupler(nn.Module):
 
     out_ch: int
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
-        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv1")(z)
-        h = layers.Norm2d(self.norm, name="norm1")(h, train=train)
+        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv1",
+                           dtype=self.dtype)(z)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = layers.lrelu(h)
-        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv2")(h)
-        h = layers.Norm2d(self.norm, name="norm2")(h, train=train)
+        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv2",
+                           dtype=self.dtype)(h)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
         return nn.relu(h)
 
 
@@ -127,12 +137,15 @@ class DualBranchEncoder(nn.Module):
     norm: str = "batch"
     dropout: Optional[float] = None
     num_domains: int = 1
+    dtype: Any = None
 
     def setup(self):
         self.general_encoder = Encoder(self.z_level_1_ch, self.feature_reduce,
                                        self.norm, self.dropout, act="relu",
-                                       num_domains=self.num_domains)
-        self.code_decoupler = CodeDecoupler(self.z_level_2_ch, self.norm)
+                                       num_domains=self.num_domains,
+                                       dtype=self.dtype)
+        self.code_decoupler = CodeDecoupler(self.z_level_2_ch, self.norm,
+                                            dtype=self.dtype)
 
     def encode(self, x, train: bool = True, domain_id: int = 0,
                style_fns: StyleFns = None, deterministic_dropout: bool = False):
@@ -164,22 +177,24 @@ class Decoder(nn.Module):
     norm: str = "batch"
     dropout: Optional[float] = None
     last_act: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, style_fns: StyleFns = None,
                  deterministic_dropout: bool = False):
         r = self.feature_reduce
+        d = self.dtype
         kw = dict(train=train, deterministic_dropout=deterministic_dropout)
         x = _maybe_style(x, style_fns, 0)
-        x = layers.ResUp(256 // r, self.up_type, self.norm, self.dropout, name="up1")(x, **kw)
+        x = layers.ResUp(256 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up1")(x, **kw)
         x = _maybe_style(x, style_fns, 1)
-        x = layers.ResUp(128 // r, self.up_type, self.norm, self.dropout, name="up2")(x, **kw)
+        x = layers.ResUp(128 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up2")(x, **kw)
         x = _maybe_style(x, style_fns, 2)
-        x = layers.ResUp(64 // r, self.up_type, self.norm, self.dropout, name="up3")(x, **kw)
+        x = layers.ResUp(64 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up3")(x, **kw)
         x = _maybe_style(x, style_fns, 3)
-        x = layers.ResUp(64 // r, self.up_type, self.norm, self.dropout, name="up4")(x, **kw)
+        x = layers.ResUp(64 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up4")(x, **kw)
         x = _maybe_style(x, style_fns, 4)
-        x = layers.conv1x1(self.out_ch, name="final_conv")(x)
+        x = layers.conv1x1(self.out_ch, name="final_conv", dtype=d)(x)
         if self.last_act == "sigmoid":
             x = nn.sigmoid(x)
         elif self.last_act == "instance_norm":

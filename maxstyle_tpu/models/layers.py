@@ -57,16 +57,20 @@ class Norm2d(nn.Module):
     torch nn.InstanceNorm2d defaults) or 'none'."""
 
     kind: str = "batch"
+    dtype: Any = None  # compute/output dtype; params + running stats stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.kind == "batch":
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, scale_init=bn_scale_init)(x)
+                                epsilon=1e-5, scale_init=bn_scale_init,
+                                dtype=self.dtype)(x)
         if self.kind == "instance":
-            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-            var = jnp.var(x, axis=(1, 2), keepdims=True)
-            return (x - mean) / jnp.sqrt(var + 1e-5)
+            xf = x.astype(jnp.float32)  # stats in f32 for half-precision inputs
+            mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            var = jnp.var(xf, axis=(1, 2), keepdims=True)
+            out = (xf - mean) / jnp.sqrt(var + 1e-5)
+            return out.astype(self.dtype or x.dtype)
         if self.kind == "none":
             return x
         raise ValueError(self.kind)
@@ -81,12 +85,13 @@ class DomainSpecificNorm2d(nn.Module):
     """
 
     num_domains: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, domain_id: int = 0, train: bool = True):
         norms = [nn.BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, scale_init=bn_scale_init,
-                              name=f"bn_domain{d}")
+                              dtype=self.dtype, name=f"bn_domain{d}")
                  for d in range(self.num_domains)]
         if self.is_initializing():
             # materialize params/stats for every domain, not just the selected one
@@ -95,14 +100,16 @@ class DomainSpecificNorm2d(nn.Module):
         return norms[domain_id](x)
 
 
-def conv3x3(features: int, use_bias: bool = True, name: str | None = None) -> nn.Conv:
+def conv3x3(features: int, use_bias: bool = True, name: str | None = None,
+            dtype: Any = None) -> nn.Conv:
     return nn.Conv(features, (3, 3), padding=1, use_bias=use_bias,
-                   kernel_init=kaiming_normal_fan_in, name=name)
+                   kernel_init=kaiming_normal_fan_in, name=name, dtype=dtype)
 
 
-def conv1x1(features: int, use_bias: bool = True, name: str | None = None) -> nn.Conv:
+def conv1x1(features: int, use_bias: bool = True, name: str | None = None,
+            dtype: Any = None) -> nn.Conv:
     return nn.Conv(features, (1, 1), use_bias=use_bias,
-                   kernel_init=kaiming_normal_fan_in, name=name)
+                   kernel_init=kaiming_normal_fan_in, name=name, dtype=dtype)
 
 
 def upsample2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
@@ -120,6 +127,7 @@ class Upsampler(nn.Module):
 
     up_type: str = "NN"
     features: int | None = None  # only needed for Conv2/Conv4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -127,10 +135,12 @@ class Upsampler(nn.Module):
             return upsample2x(x, self.up_type)
         if self.up_type == "Conv2":
             return nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                                    padding="VALID", kernel_init=normal_002)(x)
+                                    padding="VALID", kernel_init=normal_002,
+                                    dtype=self.dtype)(x)
         if self.up_type == "Conv4":
             return nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                                    padding="SAME", kernel_init=normal_002)(x)
+                                    padding="SAME", kernel_init=normal_002,
+                                    dtype=self.dtype)(x)
         raise NotImplementedError(self.up_type)
 
 
@@ -164,6 +174,7 @@ class ResConvDown(nn.Module):
     norm: str = "batch"
     dropout: Optional[float] = None
     num_domains: int = 1  # >1 => domain-specific BN (ds_res_convdown:360-420)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, domain_id: int = 0,
@@ -172,19 +183,21 @@ class ResConvDown(nn.Module):
 
         def make_norm(name):
             if self.num_domains > 1:
-                ds = DomainSpecificNorm2d(self.num_domains, name=name)
+                ds = DomainSpecificNorm2d(self.num_domains, dtype=self.dtype,
+                                          name=name)
                 return lambda v: ds(v, domain_id=domain_id, train=train)
-            n2d = Norm2d(self.norm, name=name)
+            n2d = Norm2d(self.norm, dtype=self.dtype, name=name)
             return lambda v: n2d(v, train=train)
 
         x = nn.Conv(in_ch, (3, 3), strides=(2, 2), padding=1,
-                    kernel_init=kaiming_normal_fan_in, name="down")(x)
-        h = conv3x3(self.out_ch, name="conv1")(x)
+                    kernel_init=kaiming_normal_fan_in, dtype=self.dtype,
+                    name="down")(x)
+        h = conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
         h = make_norm("norm1")(h)
         h = lrelu(h)
-        h = conv3x3(self.out_ch, name="conv2")(h)
+        h = conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(h)
         h = make_norm("norm2")(h)
-        res = conv1x1(self.out_ch, name="conv_input")(x) + h
+        res = conv1x1(self.out_ch, name="conv_input", dtype=self.dtype)(x) + h
         res = lrelu(res)
         if self.dropout is not None:
             res = FixableDropout(self.dropout)(res, deterministic=deterministic_dropout)
@@ -200,17 +213,18 @@ class ResUp(nn.Module):
     up_type: str = "NN"
     norm: str = "batch"
     dropout: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
         in_ch = x.shape[-1]
-        x = Upsampler(self.up_type, features=in_ch, name="up")(x)
-        h = conv3x3(self.out_ch, name="conv1")(x)
-        h = Norm2d(self.norm, name="norm1")(h, train=train)
+        x = Upsampler(self.up_type, features=in_ch, dtype=self.dtype, name="up")(x)
+        h = conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
+        h = Norm2d(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = lrelu(h)
-        h = conv3x3(self.out_ch, name="conv2")(h)
-        h = Norm2d(self.norm, name="norm2")(h, train=train)
-        res = conv1x1(self.out_ch, name="conv_input")(x) + h
+        h = conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(h)
+        h = Norm2d(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
+        res = conv1x1(self.out_ch, name="conv_input", dtype=self.dtype)(x) + h
         res = lrelu(res)
         if self.dropout is not None:
             res = FixableDropout(self.dropout)(res, deterministic=deterministic_dropout)
@@ -225,20 +239,22 @@ class InConv(nn.Module):
     out_ch: int
     norm: str = "batch"
     num_domains: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, domain_id: int = 0):
         def make_norm(name):
             if self.num_domains > 1:
-                ds = DomainSpecificNorm2d(self.num_domains, name=name)
+                ds = DomainSpecificNorm2d(self.num_domains, dtype=self.dtype,
+                                          name=name)
                 return lambda v: ds(v, domain_id=domain_id, train=train)
-            n2d = Norm2d(self.norm, name=name)
+            n2d = Norm2d(self.norm, dtype=self.dtype, name=name)
             return lambda v: n2d(v, train=train)
 
-        x = conv3x3(self.out_ch, name="conv1")(x)
+        x = conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
         x = make_norm("norm1")(x)
         x = lrelu(x)
-        x = conv3x3(self.out_ch, name="conv2")(x)
+        x = conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(x)
         x = make_norm("norm2")(x)
         return x
 

@@ -102,28 +102,32 @@ def parse_network_type(network_type: str, intensity_norm_type: str = "min_max") 
 def build_modules(spec: NetworkSpec, image_ch: int = 1, num_classes: int = 4,
                   encoder_dropout: Optional[float] = None,
                   decoder_dropout: Optional[float] = None,
-                  image_size: int = 192) -> Dict[str, nn.Module]:
+                  image_size: int = 192, dtype=None) -> Dict[str, nn.Module]:
     """Build the module bundle for a parsed spec (FCN family; Unet/UNETR
-    bundles are built by their own factories and merged here)."""
+    bundles are built by their own factories and merged here).
+
+    `dtype` is the activation/compute dtype (mixed precision: params,
+    optimizer state and BN running statistics always stay float32)."""
     if spec.is_unet:
         from maxstyle_tpu.models.unet import build_unet_modules  # lazy import
         return build_unet_modules(spec, image_ch=image_ch, num_classes=num_classes,
                                   encoder_dropout=encoder_dropout,
                                   decoder_dropout=decoder_dropout,
-                                  image_size=image_size)
+                                  image_size=image_size, dtype=dtype)
     r = spec.feature_reduce
     modules: Dict[str, nn.Module] = {}
     modules["image_encoder"] = DualBranchEncoder(
         z_level_1_ch=512 // r, z_level_2_ch=512 // r, feature_reduce=r,
-        norm="batch", dropout=encoder_dropout, num_domains=spec.num_domains)
+        norm="batch", dropout=encoder_dropout, num_domains=spec.num_domains,
+        dtype=dtype)
     modules["segmentation_decoder"] = Decoder(
         out_ch=num_classes, feature_reduce=r, up_type="NN", norm="batch",
-        dropout=decoder_dropout, last_act=None)
+        dropout=decoder_dropout, last_act=None, dtype=dtype)
     if spec.has_image_recon:
         modules["image_decoder"] = Decoder(
             out_ch=image_ch, feature_reduce=r, up_type=spec.image_decoder_up,
             norm="batch", dropout=decoder_dropout,
-            last_act=spec.image_decoder_last_act)
+            last_act=spec.image_decoder_last_act, dtype=dtype)
     if spec.has_stn:
         shape_in_ch = num_classes
         if spec.shape_input_mode in ("w_image", "w_recon_image"):
@@ -133,8 +137,8 @@ def build_modules(spec: NetworkSpec, image_ch: int = 1, num_classes: int = 4,
         del shape_in_ch  # input channels are inferred lazily by flax
         modules["shape_encoder"] = Encoder(
             out_ch=512 // r, feature_reduce=r, norm="batch",
-            dropout=encoder_dropout, act="relu")
+            dropout=encoder_dropout, act="relu", dtype=dtype)
         modules["shape_decoder"] = Decoder(
             out_ch=num_classes, feature_reduce=r, up_type="NN", norm="batch",
-            dropout=decoder_dropout, last_act=None)
+            dropout=decoder_dropout, last_act=None, dtype=dtype)
     return modules

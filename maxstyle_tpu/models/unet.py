@@ -14,7 +14,7 @@ per-hook channel plan coincides with encoder_decoder.decoder_style_channels.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -30,15 +30,16 @@ class DoubleConv(nn.Module):
     out_ch: int
     norm: str = "batch"
     act: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = nn.relu if self.act == "relu" else layers.lrelu
-        x = layers.conv3x3(self.out_ch, name="conv1")(x)
-        x = layers.Norm2d(self.norm, name="norm1")(x, train=train)
+        x = layers.conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
+        x = layers.Norm2d(self.norm, dtype=self.dtype, name="norm1")(x, train=train)
         x = act(x)
-        x = layers.conv3x3(self.out_ch, name="conv2")(x)
-        x = layers.Norm2d(self.norm, name="norm2")(x, train=train)
+        x = layers.conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(x)
+        x = layers.Norm2d(self.norm, dtype=self.dtype, name="norm2")(x, train=train)
         return act(x)
 
 
@@ -49,11 +50,13 @@ class Down(nn.Module):
     norm: str = "batch"
     act: str = "relu"
     dropout: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, deterministic_dropout: bool = False):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = DoubleConv(self.out_ch, self.norm, self.act, name="conv")(x, train=train)
+        x = DoubleConv(self.out_ch, self.norm, self.act, dtype=self.dtype,
+                       name="conv")(x, train=train)
         if self.dropout is not None:
             x = layers.FixableDropout(self.dropout)(x, deterministic=deterministic_dropout)
         return x
@@ -67,6 +70,7 @@ class Up(nn.Module):
     norm: str = "batch"
     act: str = "relu"
     dropout: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True,
@@ -76,13 +80,15 @@ class Up(nn.Module):
                                   else "bilinear")
         elif self.up_type == "Conv2":
             x = nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2),
-                                 padding="VALID", kernel_init=layers.normal_002)(x)
+                                 padding="VALID", kernel_init=layers.normal_002,
+                                 dtype=self.dtype)(x)
         else:
             raise ValueError(self.up_type)
-        x = jnp.concatenate([skip, x], axis=-1)
+        x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
         if self.dropout is not None:
             x = layers.FixableDropout(self.dropout)(x, deterministic=deterministic_dropout)
-        return DoubleConv(self.out_ch, self.norm, self.act, name="conv")(x, train=train)
+        return DoubleConv(self.out_ch, self.norm, self.act, dtype=self.dtype,
+                          name="conv")(x, train=train)
 
 
 class CodeFilter(nn.Module):
@@ -91,14 +97,17 @@ class CodeFilter(nn.Module):
 
     out_ch: int
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
-        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv1")(z)
-        h = layers.Norm2d(self.norm, name="norm1")(h, train=train)
+        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv1",
+                           dtype=self.dtype)(z)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = layers.lrelu(h)
-        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv2")(h)
-        h = layers.Norm2d(self.norm, name="norm2")(h, train=train)
+        h = layers.conv3x3(self.out_ch, use_bias=False, name="conv2",
+                           dtype=self.dtype)(h)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
         return nn.relu(h)
 
 
@@ -111,17 +120,19 @@ class UnetEncoder(nn.Module):
     act: str = "relu"
     dropout: Optional[float] = None
     enable_code_filter: bool = False
+    dtype: Any = None
 
     def setup(self):
         r = self.feature_reduce
-        self.inc = DoubleConv(64 // r, self.norm, self.act)
-        self.down1 = Down(128 // r, self.norm, self.act, self.dropout)
-        self.down2 = Down(256 // r, self.norm, self.act, self.dropout)
-        self.down3 = Down(512 // r, self.norm, self.act, self.dropout)
-        self.down4 = Down(512 // r, self.norm, self.act, self.dropout)
+        d = self.dtype
+        self.inc = DoubleConv(64 // r, self.norm, self.act, dtype=d)
+        self.down1 = Down(128 // r, self.norm, self.act, self.dropout, dtype=d)
+        self.down2 = Down(256 // r, self.norm, self.act, self.dropout, dtype=d)
+        self.down3 = Down(512 // r, self.norm, self.act, self.dropout, dtype=d)
+        self.down4 = Down(512 // r, self.norm, self.act, self.dropout, dtype=d)
         if self.enable_code_filter:
             chans = [64 // r, 128 // r, 256 // r, 512 // r, 512 // r]
-            self.code_filters = [CodeFilter(c, self.norm) for c in chans]
+            self.code_filters = [CodeFilter(c, self.norm, dtype=d) for c in chans]
 
     def encode(self, x, train: bool = True, domain_id: int = 0,
                style_fns: StyleFns = None, deterministic_dropout: bool = False):
@@ -161,27 +172,29 @@ class UnetDecoder(nn.Module):
     act: str = "relu"
     dropout: Optional[float] = None
     last_act: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = True,
                  style_fns: StyleFns = None, deterministic_dropout: bool = False):
         r = self.feature_reduce
+        d = self.dtype
         x1, x2, x3, x4, x5 = features
         kw = dict(train=train, deterministic_dropout=deterministic_dropout)
         x5 = _maybe_style(x5, style_fns, 0)
         x = Up(256 // r, self.up_type, self.norm, self.act, self.dropout,
-               name="up1")(x5, x4, **kw)
+               dtype=d, name="up1")(x5, x4, **kw)
         x = _maybe_style(x, style_fns, 1)
         x = Up(128 // r, self.up_type, self.norm, self.act, self.dropout,
-               name="up2")(x, x3, **kw)
+               dtype=d, name="up2")(x, x3, **kw)
         x = _maybe_style(x, style_fns, 2)
         x = Up(64 // r, self.up_type, self.norm, self.act, self.dropout,
-               name="up3")(x, x2, **kw)
+               dtype=d, name="up3")(x, x2, **kw)
         x = _maybe_style(x, style_fns, 3)
         x = Up(64 // r, self.up_type, self.norm, self.act, self.dropout,
-               name="up4")(x, x1, **kw)
+               dtype=d, name="up4")(x, x1, **kw)
         x = _maybe_style(x, style_fns, 4)
-        x = layers.conv1x1(self.out_ch, name="outc")(x)
+        x = layers.conv1x1(self.out_ch, name="outc", dtype=d)(x)
         if self.last_act == "sigmoid":
             x = nn.sigmoid(x)
         elif self.last_act == "instance_norm":
@@ -259,7 +272,7 @@ class UNetv2(nn.Module):
 
 
 def build_unet_modules(spec, image_ch=1, num_classes=4, encoder_dropout=None,
-                       decoder_dropout=None, image_size=192):
+                       decoder_dropout=None, image_size=192, dtype=None):
     """Unet-family module bundle (advanced_triplet…get_network:204-251):
     UnetEncoder + UnetDecoder seg head; image decoder is the standard conv
     decoder over the bottom feature (or a UnetDecoder for `Unet_im_recon`);
@@ -273,28 +286,34 @@ def build_unet_modules(spec, image_ch=1, num_classes=4, encoder_dropout=None,
         from maxstyle_tpu.models.unetr import UNETREncoder, UNETRDecoder
         modules["image_encoder"] = UNETREncoder(
             img_size=image_size, feature_size=64 // r, hidden_size=768,
-            enable_code_filter=spec.unet_code_filter)
+            enable_code_filter=spec.unet_code_filter,
+            dropout_rate=encoder_dropout or 0.0, dtype=dtype)
         modules["segmentation_decoder"] = UNETRDecoder(
-            out_ch=num_classes, feature_size=64 // r, hidden_size=768)
+            out_ch=num_classes, feature_size=64 // r, hidden_size=768,
+            dtype=dtype)
     else:
         modules["image_encoder"] = UnetEncoder(
             feature_reduce=r, act=act, dropout=encoder_dropout,
-            enable_code_filter=spec.unet_code_filter)
+            enable_code_filter=spec.unet_code_filter, dtype=dtype)
         modules["segmentation_decoder"] = UnetDecoder(
             out_ch=num_classes, feature_reduce=r, act=act,
-            dropout=decoder_dropout, last_act=None)
+            dropout=decoder_dropout, last_act=None, dtype=dtype)
     if spec.has_image_recon:
         if "Unet_im_recon" in spec.network_type:
             modules["image_decoder"] = UnetDecoder(
                 out_ch=image_ch, feature_reduce=r, up_type="Conv2", act=act,
-                dropout=decoder_dropout, last_act=spec.image_decoder_last_act)
+                dropout=decoder_dropout, last_act=spec.image_decoder_last_act,
+                dtype=dtype)
         else:
             modules["image_decoder"] = Decoder(
                 out_ch=image_ch, feature_reduce=r, up_type="Conv2",
-                dropout=decoder_dropout, last_act=spec.image_decoder_last_act)
+                dropout=decoder_dropout, last_act=spec.image_decoder_last_act,
+                dtype=dtype)
     if spec.has_stn:
         modules["shape_encoder"] = Encoder(out_ch=512 // r, feature_reduce=r,
-                                           dropout=encoder_dropout, act="relu")
+                                           dropout=encoder_dropout, act="relu",
+                                           dtype=dtype)
         modules["shape_decoder"] = Decoder(out_ch=num_classes, feature_reduce=r,
-                                           up_type="NN", dropout=decoder_dropout)
+                                           up_type="NN", dropout=decoder_dropout,
+                                           dtype=dtype)
     return modules

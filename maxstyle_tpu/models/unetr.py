@@ -16,7 +16,7 @@ identically.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,22 +28,34 @@ from maxstyle_tpu.models.unet import CodeFilter
 
 
 class TransformerBlock(nn.Module):
+    """Pre-norm ViT block (MONAI TransformerBlock): attention + MLP, each
+    with dropout (MONAI SABlock/MLPBlock apply dropout_rate to attention
+    weights/projection and after each MLP linear)."""
+
     hidden_size: int = 768
     mlp_dim: int = 3072
     num_heads: int = 12
     dropout_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.hidden_size,
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
             deterministic=deterministic)(h, h)
+        if self.dropout_rate > 0.0:
+            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         x = x + h
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.mlp_dim)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.hidden_size)(h)
+        if self.dropout_rate > 0.0:
+            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype)(h)
+        if self.dropout_rate > 0.0:
+            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         return x + h
 
 
@@ -57,22 +69,28 @@ class ViT(nn.Module):
     mlp_dim: int = 3072
     num_layers: int = 12
     num_heads: int = 12
+    dropout_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         n_patch = (self.img_size // self.patch_size) ** 2
         x = nn.Conv(self.hidden_size, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
-                    name="patch_embed")(x)
+                    dtype=self.dtype, name="patch_embed")(x)
         b, gh, gw, c = x.shape
         x = x.reshape(b, gh * gw, c)
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                          (1, n_patch, self.hidden_size))
-        x = x + pos
+        x = x + pos.astype(x.dtype)
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         hidden_states = []
         for i in range(self.num_layers):
             x = TransformerBlock(self.hidden_size, self.mlp_dim,
-                                 self.num_heads, name=f"block{i}")(x)
+                                 self.num_heads, self.dropout_rate,
+                                 dtype=self.dtype,
+                                 name=f"block{i}")(x, deterministic=not train)
             hidden_states.append(x)
         return x, hidden_states
 
@@ -82,17 +100,18 @@ class ResConvBlock(nn.Module):
 
     out_ch: int
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = layers.conv3x3(self.out_ch, name="conv1")(x)
-        h = layers.Norm2d(self.norm, name="norm1")(h, train=train)
+        h = layers.conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
         h = layers.lrelu(h)
-        h = layers.conv3x3(self.out_ch, name="conv2")(h)
-        h = layers.Norm2d(self.norm, name="norm2")(h, train=train)
-        skip = (layers.conv1x1(self.out_ch, name="skip")(x)
+        h = layers.conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(h)
+        h = layers.Norm2d(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
+        skip = (layers.conv1x1(self.out_ch, name="skip", dtype=self.dtype)(x)
                 if x.shape[-1] != self.out_ch else x)
-        return layers.lrelu(skip + h)
+        return layers.lrelu(skip.astype(h.dtype) + h)
 
 
 class PrUpBlock(nn.Module):
@@ -102,17 +121,19 @@ class PrUpBlock(nn.Module):
     out_ch: int
     num_layer: int
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
                              padding="VALID", kernel_init=layers.normal_002,
-                             name="up0")(x)
+                             dtype=self.dtype, name="up0")(x)
         for i in range(self.num_layer):
             x = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
                                  padding="VALID", kernel_init=layers.normal_002,
-                                 name=f"up{i + 1}")(x)
-            x = ResConvBlock(self.out_ch, self.norm, name=f"conv{i + 1}")(x, train=train)
+                                 dtype=self.dtype, name=f"up{i + 1}")(x)
+            x = ResConvBlock(self.out_ch, self.norm, dtype=self.dtype,
+                             name=f"conv{i + 1}")(x, train=train)
         return x
 
 
@@ -121,13 +142,15 @@ class UpCatBlock(nn.Module):
 
     out_ch: int
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         x = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
-                             padding="VALID", kernel_init=layers.normal_002)(x)
-        x = jnp.concatenate([x, skip], axis=-1)
-        return ResConvBlock(self.out_ch, self.norm)(x, train=train)
+                             padding="VALID", kernel_init=layers.normal_002,
+                             dtype=self.dtype)(x)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return ResConvBlock(self.out_ch, self.norm, dtype=self.dtype)(x, train=train)
 
 
 class UNETREncoder(nn.Module):
@@ -139,17 +162,21 @@ class UNETREncoder(nn.Module):
     hidden_size: int = 768
     norm: str = "batch"
     enable_code_filter: bool = False
+    dropout_rate: float = 0.0
+    dtype: Any = None
 
     def setup(self):
-        self.vit = ViT(img_size=self.img_size, hidden_size=self.hidden_size)
+        self.vit = ViT(img_size=self.img_size, hidden_size=self.hidden_size,
+                       dropout_rate=self.dropout_rate, dtype=self.dtype)
         f = self.feature_size
-        self.encoder1 = ResConvBlock(f, self.norm)
-        self.encoder2 = PrUpBlock(f * 2, num_layer=2, norm=self.norm)
-        self.encoder3 = PrUpBlock(f * 4, num_layer=1, norm=self.norm)
-        self.encoder4 = PrUpBlock(f * 8, num_layer=0, norm=self.norm)
+        d = self.dtype
+        self.encoder1 = ResConvBlock(f, self.norm, dtype=d)
+        self.encoder2 = PrUpBlock(f * 2, num_layer=2, norm=self.norm, dtype=d)
+        self.encoder3 = PrUpBlock(f * 4, num_layer=1, norm=self.norm, dtype=d)
+        self.encoder4 = PrUpBlock(f * 8, num_layer=0, norm=self.norm, dtype=d)
         if self.enable_code_filter:
             chans = [f, f * 2, f * 4, f * 8, self.hidden_size]
-            self.code_filters = [CodeFilter(c, self.norm) for c in chans]
+            self.code_filters = [CodeFilter(c, self.norm, dtype=d) for c in chans]
 
     def _proj(self, tokens):
         b, n, c = tokens.shape
@@ -191,22 +218,24 @@ class UNETRDecoder(nn.Module):
     hidden_size: int = 768
     norm: str = "batch"
     last_act: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = True,
                  style_fns: StyleFns = None, deterministic_dropout: bool = False):
         enc1, enc2, enc3, enc4, dec4 = features
         f = self.feature_size
+        d = self.dtype
         dec4 = _maybe_style(dec4, style_fns, 0)
-        x = UpCatBlock(f * 8, self.norm, name="decoder5")(dec4, enc4, train=train)
+        x = UpCatBlock(f * 8, self.norm, dtype=d, name="decoder5")(dec4, enc4, train=train)
         x = _maybe_style(x, style_fns, 1)
-        x = UpCatBlock(f * 4, self.norm, name="decoder4")(x, enc3, train=train)
+        x = UpCatBlock(f * 4, self.norm, dtype=d, name="decoder4")(x, enc3, train=train)
         x = _maybe_style(x, style_fns, 2)
-        x = UpCatBlock(f * 2, self.norm, name="decoder3")(x, enc2, train=train)
+        x = UpCatBlock(f * 2, self.norm, dtype=d, name="decoder3")(x, enc2, train=train)
         x = _maybe_style(x, style_fns, 3)
-        x = UpCatBlock(f, self.norm, name="decoder2")(x, enc1, train=train)
+        x = UpCatBlock(f, self.norm, dtype=d, name="decoder2")(x, enc1, train=train)
         x = _maybe_style(x, style_fns, 4)
-        x = layers.conv1x1(self.out_ch, name="out")(x)
+        x = layers.conv1x1(self.out_ch, name="out", dtype=d)(x)
         if self.last_act == "sigmoid":
             x = nn.sigmoid(x)
         elif self.last_act == "instance_norm":

@@ -51,9 +51,10 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     `intensity_norm_type=='z_score'` variants.
     """
     spatial_axes = (1, 2)
-    mean = jnp.mean(x, axis=spatial_axes, keepdims=True)
-    var = jnp.var(x, axis=spatial_axes, keepdims=True)
-    return (x - mean) / jnp.sqrt(var + eps)
+    xf = x.astype(jnp.float32)  # stats in f32 under mixed precision
+    mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)
+    var = jnp.var(xf, axis=spatial_axes, keepdims=True)
+    return ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
 
 
 def intensity_norm_fn(intensity_norm_type: str):

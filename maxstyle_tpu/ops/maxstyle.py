@@ -122,6 +122,8 @@ def apply_maxstyle(x: jnp.ndarray, params: MaxStyleParams, state: MaxStyleState,
     if b <= 1 or h * w == 1 or (not cfg.mix_style and cfg.no_noise):
         return x, state
 
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # style stats + mixing run in f32
     mu, sig = instance_stats(x, cfg.eps)
     x_normed = (x - mu) / sig
 
@@ -145,7 +147,7 @@ def apply_maxstyle(x: jnp.ndarray, params: MaxStyleParams, state: MaxStyleState,
                  + (mu_mix + params.beta_noise * beta_std))
 
     out = state.gate * x_aug + (1.0 - state.gate) * x
-    return out, new_state
+    return out.astype(in_dtype), new_state
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +178,8 @@ def apply_mixstyle(key: jax.Array, x: jnp.ndarray,
     if b <= 1:
         return x
 
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
     gate = (jax.random.uniform(k_gate) <= cfg.p).astype(x.dtype)
 
     mu, sig = instance_stats(x, cfg.eps)
@@ -207,4 +211,4 @@ def apply_mixstyle(key: jax.Array, x: jnp.ndarray,
         raise NotImplementedError(cfg.mix)
 
     out = x_normed * sig_mix + mu_mix
-    return gate * out + (1.0 - gate) * x
+    return (gate * out + (1.0 - gate) * x).astype(in_dtype)

@@ -248,6 +248,13 @@ def apply_maxstyle_pallas(x: jnp.ndarray, params: MaxStyleParams,
     b, h, w, c = x.shape
     if b <= 1 or h * w == 1 or (not cfg.mix_style and cfg.no_noise):
         return x, state
+    in_dtype = x.dtype
+    if in_dtype != jnp.float32:
+        # kernels are written for f32 tiles; the op is a tiny slice of the
+        # step, and its stat math must stay full precision anyway
+        out, new_state = apply_maxstyle_pallas(
+            x.astype(jnp.float32), params, state, cfg)
+        return out.astype(in_dtype), new_state
     x2d = x.reshape(b, h * w, c)
     hw = h * w
 

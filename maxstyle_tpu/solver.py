@@ -120,10 +120,24 @@ class TripletSegmentationSolver:
         TPU, jnp elsewhere)."""
         self.config = config
         self.image_ch = image_ch
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if maxstyle_backend == "auto":
-            maxstyle_backend = ("pallas" if jax.default_backend() == "tpu"
-                                else "jnp")
+            maxstyle_backend = "pallas" if on_tpu else "jnp"
         self.maxstyle_backend = maxstyle_backend
+        # mixed precision: bf16 activations on TPU (MXU-native), f32 params/
+        # optimizer/BN stats everywhere (flax param_dtype default + BN
+        # force_float32_reductions)
+        cd = config.learning.compute_dtype
+        if cd == "auto":
+            self.compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        elif cd in ("bfloat16", "bf16"):
+            self.compute_dtype = jnp.bfloat16
+        elif cd in ("float32", "f32"):
+            self.compute_dtype = jnp.float32
+        else:
+            raise ValueError(f"compute_dtype {cd}")
+        module_dtype = (None if self.compute_dtype == jnp.float32
+                        else self.compute_dtype)
         self.num_classes = config.segmentation_model.num_classes
         self.spec: NetworkSpec = parse_network_type(
             config.segmentation_model.network_type,
@@ -132,7 +146,7 @@ class TripletSegmentationSolver:
             self.spec, image_ch=image_ch, num_classes=self.num_classes,
             encoder_dropout=config.learning.encoder_dropout,
             decoder_dropout=config.learning.decoder_dropout,
-            image_size=config.crop_hw[0])
+            image_size=config.crop_hw[0], dtype=module_dtype)
         self.tx = make_optimizer(config.learning.optimizer_type, config.learning.lr)
         self.class_weights = config.learning.class_weights
         self.rec_loss_type = config.learning.rec_loss_type
