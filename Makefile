@@ -1,0 +1,21 @@
+# maxstyle_tpu developer entry points
+
+.PHONY: test test-fast test-slow bench dryrun
+
+# fast regression gate (~4 min single-core CPU): everything except
+# @pytest.mark.slow (heavy full-size compiles / end-to-end cycles)
+test-fast:
+	python -m pytest tests -x -q -m "not slow"
+
+# the full suite (~16 min single-core CPU)
+test:
+	python -m pytest tests -x -q
+
+test-slow:
+	python -m pytest tests -x -q -m "slow"
+
+bench:
+	python bench.py
+
+dryrun:
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"

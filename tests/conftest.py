@@ -15,9 +15,23 @@ if "space-to-batch" not in _flags:
     _flags += " --xla_disable_hlo_passes=space-to-batch-converter"
 os.environ["XLA_FLAGS"] = _flags
 
-# dedicated CPU cache: entries compiled via the axon tunnel carry the remote
-# host's machine features and mis-execute when loaded by the local CPU
-os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
+# dedicated CPU cache, fingerprinted by host CPU: XLA:CPU AOT entries carry
+# machine features and can SIGILL when loaded on a different machine (the
+# bench fleet migrates /tmp between hosts)
+import hashlib
+import platform
+
+
+def _cpu_cache_dir():
+    try:
+        flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+    except Exception:
+        flags = platform.processor()
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"/tmp/jax_cache_cpu_{tag}"
+
+
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cpu_cache_dir()
 
 import jax  # noqa: E402
 

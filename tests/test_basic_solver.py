@@ -23,6 +23,7 @@ class TestSegmentationModel:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_ema_teacher_tracks_student(self):
         model = SegmentationModel(network_type="UNet_16", use_ema=True,
                                   ema_decay=0.5, lr=1e-2)
@@ -38,6 +39,7 @@ class TestSegmentationModel:
         assert pred.shape == (2, 32, 32, 4)
 
 
+@pytest.mark.slow
 class TestDomainSpecific:
     def test_ds_fcn_maxstyle_step(self):
         """DS_FCN: hard-example pass trains domain-1 BN stats while the
@@ -73,6 +75,7 @@ class TestDomainSpecific:
         assert moved[0] and moved[1]
 
 
+@pytest.mark.slow
 class TestDeterminism:
     def test_same_seed_same_metrics(self):
         from maxstyle_tpu.solver import TripletSegmentationSolver

@@ -10,6 +10,8 @@ from maxstyle_tpu.solver import TripletSegmentationSolver
 from maxstyle_tpu.train_step import make_train_step
 from tests.test_train_step import small_config, synthetic_batch
 
+pytestmark = pytest.mark.slow  # heavy compile; excluded from `make test-fast`
+
 
 @pytest.mark.parametrize("flag,channel", [
     ("latent_DA", "loss/hard/total"),

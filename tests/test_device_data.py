@@ -10,6 +10,9 @@ from maxstyle_tpu.data.device_data import (DeviceDataset,
                                            train_device_resident)
 from maxstyle_tpu.solver import TripletSegmentationSolver
 from tests.test_train_step import small_config
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from `make test-fast`
 
 
 def make_dataset(n=16, pad=64):

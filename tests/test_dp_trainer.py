@@ -11,6 +11,8 @@ from maxstyle_tpu.train import train_network
 from tests.test_data import make_synthetic_site
 from tests.test_end_to_end import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy compile; excluded from `make test-fast`
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_parallel_train_network(tmp_path):

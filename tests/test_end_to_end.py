@@ -43,6 +43,7 @@ def tiny_config():
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_train_eval_checkpoint_cycle(self, site, tmp_path):
         cfg = tiny_config()
         solver = TripletSegmentationSolver(cfg)
@@ -82,8 +83,12 @@ class TestEndToEnd:
         means, stds, df = evaluate(
             solver, state, "SUITE_A", str(site), crop_hw=(32, 32),
             maximum_batch_size=2, save_report_dir=str(tmp_path / "rep"))
-        assert len(means) == 3
+        assert len(means) == 9  # 3 classes x (Dice, HD95, ASD)
         assert len(df) == 2  # two patients
+        means_d, _, _ = evaluate(
+            solver, state, "SUITE_A", str(site), crop_hw=(32, 32),
+            maximum_batch_size=2, metrics_list=("Dice",))
+        assert len(means_d) == 3
 
     def test_checkpoint_roundtrip_identical(self, tmp_path):
         cfg = tiny_config()

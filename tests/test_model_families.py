@@ -49,6 +49,7 @@ class TestUnet:
         assert y.shape == (2, 32, 32, 2)
 
 
+@pytest.mark.slow
 class TestUNETR:
     def test_encoder_pyramid_shapes(self):
         enc = UNETREncoder(img_size=64, feature_size=16)
@@ -93,6 +94,7 @@ class TestBaselines:
         assert y.shape == (2, 32, 32, 2)
 
 
+@pytest.mark.slow
 class TestUnetSolver:
     def test_unet_train_step_with_maxstyle(self):
         from maxstyle_tpu.solver import TripletSegmentationSolver

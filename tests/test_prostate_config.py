@@ -10,6 +10,9 @@ from maxstyle_tpu.config import (DataConfig, ExperimentConfig, LearningConfig,
                                  MaxStyleConfig, SegmentationModelConfig)
 from maxstyle_tpu.solver import TripletSegmentationSolver
 from maxstyle_tpu.train_step import make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from `make test-fast`
 
 
 def test_binary_maxstyle_step():

@@ -35,6 +35,7 @@ class TestMesh:
 
 
 class TestDataParallelStep:
+    @pytest.mark.slow
     def test_sharded_step_runs_and_is_finite(self, eight_devices):
         cfg = small_config(max_style=True)
         solver = TripletSegmentationSolver(cfg)
@@ -52,6 +53,7 @@ class TestDataParallelStep:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, eight_devices):
         """Same batch, sharded vs unsharded: losses must agree (the mean
         reduction is linear in the batch, so DP is exact)."""
@@ -79,6 +81,7 @@ class TestDataParallelStep:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip(self, eight_devices):
         import sys
         sys.path.insert(0, "/root/repo")

@@ -82,6 +82,7 @@ class TestStandardTraining:
             make_train_step(solver)
 
 
+@pytest.mark.slow
 class TestMaxStyleTraining:
     def test_maxstyle_step_runs_and_is_finite(self):
         cfg = small_config(max_style=True)
