@@ -115,7 +115,7 @@ class TestSegmentationNetwork:
             # spacing is (sx,sy,sz); metrics expect [S,H,W]-ordered sampling
             vx = (spacing[2], spacing[1], spacing[0])
             self.score.update(pid, pred, gt, voxel_spacing=vx)
-            self.per_patient.append((pid, pred, gt))
+            self.per_patient.append((pid, vol, pred, gt))
             if self.save_predict and self.save_report_dir:
                 from maxstyle_tpu.data import medio
                 os.makedirs(self.save_report_dir, exist_ok=True)
@@ -140,6 +140,23 @@ class TestSegmentationNetwork:
         df = df.sort_values(col, ascending=worst)
         return df["patient_id"].head(k).tolist()
 
+    def save_top_k_result(self, k: int = 3, metric_col: int = 0,
+                          out_dir: Optional[str] = None):
+        """Render (image, GT, prediction) panel grids for the k best and k
+        worst patients by a metric column
+        (test_basic_segmentation_solver.save_top_k_result:247-300)."""
+        from maxstyle_tpu.utils.visualize import save_segmentation_panels
+        out_dir = out_dir or self.save_report_dir
+        assert out_dir is not None, "need a report dir for panels"
+        by_pid = {pid: (vol, pred, gt) for pid, vol, pred, gt in self.per_patient}
+        paths = []
+        for worst, tag in ((False, "top"), (True, "worst")):
+            for rank, pid in enumerate(self.top_k(k, metric_col, worst=worst), 1):
+                vol, pred, gt = by_pid[pid]
+                paths.append(save_segmentation_panels(
+                    vol, gt, pred, out_dir, tag=f"{tag}{rank}_{pid}"))
+        return paths
+
 
 def get_testset(test_dataset_name: str, test_root_dir: str,
                 crop_hw=(192, 192), pad_hw=(224, 224), new_spacing=None,
@@ -161,7 +178,9 @@ def evaluate(solver, state, test_dataset_name: str, test_root_dir: str, *,
              crop_hw=(192, 192), new_spacing=None,
              save_report_dir: Optional[str] = None,
              foreground_only: Optional[bool] = None,
-             test_set_ratio: float = 1.0, n_iter: int = 1):
+             test_set_ratio: float = 1.0, n_iter: int = 1,
+             metrics_list: Sequence[str] = ("Dice", "HD95", "ASD"),
+             save_top_k: int = 0):
     """One test suite -> (means, stds, detailed dataframe); the cardiac /
     prostate evaluate() wrappers in one function (class set chosen by the
     solver's num_classes)."""
@@ -173,45 +192,54 @@ def evaluate(solver, state, test_dataset_name: str, test_root_dir: str, *,
                           new_spacing=new_spacing)
     harness = TestSegmentationNetwork(
         solver, state, dataset, maximum_batch_size=maximum_batch_size,
-        metrics_list=("Dice",), class_names=class_names,
+        metrics_list=metrics_list, class_names=class_names,
         save_report_dir=save_report_dir, foreground_only=foreground_only,
         test_set_ratio=test_set_ratio, crop_hw=crop_hw, n_iter=n_iter)
     means, stds = harness.run()
+    if save_top_k > 0 and save_report_dir:
+        harness.save_top_k_result(k=save_top_k)
     return means, stds, harness.score.to_dataframe()
 
 
 def auto_test(solver, state, dataset_name: str, test_root_dir: str,
               save_dir: str, method_name: str = "", **kwargs):
-    """The post-training benchmark sweep (train_adv…:893-959): all suites
-    for the task family -> dataset_summary.csv."""
+    """The post-training benchmark sweep (train_adv…:893-959): every suite
+    for the task family -> dataset_summary.csv with per-class Dice/HD95/ASD
+    mean+std columns and a Dice AVG column. Columns are derived from the
+    score's actual metric keys so unexpected arities cannot silently
+    truncate the header; an all-missing test root raises instead of
+    emitting an empty frame."""
     import pandas as pd
     if dataset_name in ("ACDC", "UKBB"):
         suites = CARDIAC_TEST_SUITES
-        columns = (["dataset", "method"]
-                   + [f"{c} (mean)" for c in CARDIAC_CLASS_NAMES] + ["AVG"]
-                   + [f"{c} (std)" for c in CARDIAC_CLASS_NAMES])
     elif dataset_name == "Prostate":
         suites = PROSTATE_TEST_SITES
-        columns = ["dataset", "method", "Prostate (mean)", "Prostate (std)"]
     else:
         raise NotImplementedError(dataset_name)
 
     rows = []
+    skipped = []
     for suite in suites:
         suite_root = os.path.join(test_root_dir, suite)
         if not os.path.isdir(suite_root):
             print(f"skip {suite}: {suite_root} not found")
+            skipped.append(suite)
             continue
         report_dir = os.path.join(save_dir, "report", suite)
-        means, stds, _ = evaluate(solver, state, suite, test_root_dir,
-                                  save_report_dir=report_dir, **kwargs)
-        record = [suite, method_name]
-        if len(means) > 1:
-            record += means + [float(np.mean(means))] + stds
-        else:
-            record += means + stds
+        means, stds, detailed = evaluate(solver, state, suite, test_root_dir,
+                                         save_report_dir=report_dir, **kwargs)
+        cols = [c for c in detailed.columns if c != "patient_id"]
+        record = {"dataset": suite, "method": method_name}
+        record.update({f"{c} (mean)": m for c, m in zip(cols, means)})
+        dice_means = [m for c, m in zip(cols, means) if c.endswith("_Dice")]
+        if len(dice_means) > 1:
+            record["Dice AVG"] = float(np.mean(dice_means))
+        record.update({f"{c} (std)": sd for c, sd in zip(cols, stds)})
         rows.append(record)
-    df = pd.DataFrame(rows, columns=columns[:len(rows[0])] if rows else columns)
+    if not rows:
+        raise FileNotFoundError(
+            f"no test suites found under {test_root_dir}: looked for {suites}")
+    df = pd.DataFrame(rows)
     os.makedirs(os.path.join(save_dir, "report"), exist_ok=True)
     df.to_csv(os.path.join(save_dir, "report", "dataset_summary.csv"), index=False)
     return df

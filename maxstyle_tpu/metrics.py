@@ -168,6 +168,95 @@ def hd_2d_stack(result, reference, voxelspacing_2d=None) -> float:
     return float(max(hds)) if hds else 0.0
 
 
+def _object_correspondences(reference, result, connectivity: int = 1):
+    """Greedy 1-1 correspondence between connected components of two binary
+    volumes (measure.__distinct_binary_object_correspondences:1037-1093
+    conventions, preserved exactly for parity: `result` is labelled as map1,
+    `reference` as map2; map2's objects are scanned for >=1-voxel overlaps;
+    ambiguous one-to-many overlaps resolved smallest-candidate-set-first).
+
+    Returns (labels1(result), labels2(reference), n1, n2,
+    mapping: {label2 -> label1}).
+    """
+    r = _as_bool(result)
+    g = _as_bool(reference)
+    footprint = ndimage.generate_binary_structure(r.ndim, connectivity)
+    lab1, n1 = ndimage.label(r, footprint)
+    lab2, n2 = ndimage.label(g, footprint)
+
+    mapping: Dict[int, int] = {}
+    used: set = set()
+    one_to_many = []
+    for l2id, slicer in enumerate(ndimage.find_objects(lab2), start=1):
+        overlap_ids = np.unique(lab1[slicer][lab2[slicer] == l2id])
+        overlap_ids = set(int(i) for i in overlap_ids if i != 0)
+        if len(overlap_ids) == 1:
+            l1id = overlap_ids.pop()
+            if l1id not in used:
+                mapping[l2id] = l1id
+                used.add(l1id)
+        elif len(overlap_ids) > 1:
+            one_to_many.append((l2id, overlap_ids))
+    while True:
+        one_to_many = [(l2id, l1ids - used) for l2id, l1ids in one_to_many]
+        one_to_many = sorted((x for x in one_to_many if x[1]),
+                             key=lambda x: len(x[1]))
+        if not one_to_many:
+            break
+        l2id, l1ids = one_to_many[0]
+        l1id = min(l1ids)  # deterministic pick (reference pops arbitrarily)
+        mapping[l2id] = l1id
+        used.add(l1id)
+        one_to_many = one_to_many[1:]
+    return lab1, lab2, n1, n2, mapping
+
+
+def obj_tpr(result, reference, connectivity: int = 1) -> float:
+    """Object-detection true-positive rate (measure.obj_tpr:980-1034):
+    matched pairs / number of distinct `result` objects."""
+    _, _, n_result, _, mapping = _object_correspondences(reference, result,
+                                                         connectivity)
+    if n_result == 0:
+        raise RuntimeError("no objects in result")
+    return len(mapping) / float(n_result)
+
+
+def obj_fpr(result, reference, connectivity: int = 1) -> float:
+    """Object-detection false-positive rate (measure.obj_fpr:922-977):
+    (distinct `reference` objects - matched pairs) / reference objects."""
+    _, _, _, n_reference, mapping = _object_correspondences(reference, result,
+                                                            connectivity)
+    if n_reference == 0:
+        raise RuntimeError("no objects in reference")
+    return (n_reference - len(mapping)) / float(n_reference)
+
+
+def obj_asd(result, reference, voxelspacing=None, connectivity: int = 1) -> float:
+    """Average surface distance restricted to corresponding object pairs
+    (measure.obj_asd:851-919; note the reference swaps its arguments into
+    the correspondence helper, preserved here)."""
+    lab1, lab2, _, _, mapping = _object_correspondences(result, reference,
+                                                        connectivity)
+    sds: List[np.ndarray] = []
+    sl1 = ndimage.find_objects(lab1)
+    sl2 = ndimage.find_objects(lab2)
+    for l2id, l1id in mapping.items():
+        window = tuple(slice(min(a.start, b.start), max(a.stop, b.stop))
+                       for a, b in zip(sl1[l1id - 1], sl2[l2id - 1]))
+        object1 = lab1[window] == l1id
+        object2 = lab2[window] == l2id
+        sds.append(_surface_distances(object1, object2, voxelspacing))
+    if not sds:
+        return np.inf
+    return float(np.mean(np.concatenate(sds)))
+
+
+def obj_assd(result, reference, voxelspacing=None, connectivity: int = 1) -> float:
+    """Symmetric object-wise ASD (measure.obj_assd:799-848)."""
+    return float(np.mean((obj_asd(result, reference, voxelspacing, connectivity),
+                          obj_asd(reference, result, voxelspacing, connectivity))))
+
+
 def ravd(result, reference) -> float:
     r, g = _as_bool(result), _as_bool(reference)
     vg = np.count_nonzero(g)
@@ -191,7 +280,7 @@ def volume_similarity(result, reference) -> float:
 class SegmentationScore:
     """Accumulates per-patient, per-class metrics; emits pandas frames.
 
-    `metrics_list` subset of {'Dice','HD','ASD','VS','VolError'};
+    `metrics_list` subset of {'Dice','HD','HD95','ASD','VS','VolError'};
     foreground classes only (class ids 1..C-1), matching
     runningMySegmentationScore:134-287.
     """
@@ -223,6 +312,9 @@ class SegmentationScore:
                     else:
                         rec[key] = (hausdorff_distance(p, g, sp2d)
                                     if p.any() and g.any() else 0.0)
+                elif metric == "HD95":
+                    rec[key] = (hd95(p, g, voxel_spacing)
+                                if p.any() and g.any() else 0.0)
                 elif metric == "ASD":
                     rec[key] = (asd(p, g, voxel_spacing)
                                 if p.any() and g.any() else 0.0)
