@@ -250,10 +250,10 @@ def _bias_field(key: jax.Array, hw: Tuple[int, int], magnitude: float,
     return 1.0 + magnitude * field / mx
 
 
-def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
-                 policy: AugPolicy) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One (image [H,W], label [H,W]) pair -> cropped augmented pair
-    ([h,w], [h,w])."""
+def _aug_coords(key: jax.Array, policy: AugPolicy
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Source coordinates [h,w] of the composed inverse warp (affine +
+    45°-group rotation + flips + random crop + gated elastic field)."""
     p = policy
     H, W = p.pad_hw
     h, w = p.crop_hw
@@ -288,9 +288,17 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
         dx = jax.lax.dynamic_slice(dx_full, (oy, ox), (h, w)) * gate
         sy = sy + dy
         sx = sx + dx
+    return sy, sx
 
-    img = _sample_bilinear(image, sy, sx)
-    lab = _sample_nearest(label.astype(jnp.float32), sy, sx).astype(jnp.int32)
+
+def _post_warp_intensity(key: jax.Array, img: jnp.ndarray,
+                         policy: AugPolicy) -> jnp.ndarray:
+    """Post-warp intensity chain: brightness/contrast, bias field, gamma,
+    final per-slice min-max. Key layout shared with _aug_coords (same split
+    of the per-sample key) so augment_pair == coords + warp + this."""
+    p = policy
+    h, w = p.crop_hw
+    keys = jax.random.split(key, 9)
 
     # intensity: contrast/brightness fluctuation
     # (RandomBrightnessFluctuation, intensity_transform.py:114-162)
@@ -319,7 +327,18 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
         normed = _percentile_minmax(img)
         img = jnp.where(do_gamma, normed ** gamma, img)
 
-    img = _percentile_minmax(img)
+    return _percentile_minmax(img)
+
+
+def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
+                 policy: AugPolicy) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One (image [H,W], label [H,W]) pair -> cropped augmented pair
+    ([h,w], [h,w]). Per-sample gather path (jnp reference semantics); the
+    batch path dispatches the warp to the fused MXU kernel instead."""
+    sy, sx = _aug_coords(key, policy)
+    img = _sample_bilinear(image, sy, sx)
+    lab = _sample_nearest(label.astype(jnp.float32), sy, sx).astype(jnp.int32)
+    img = _post_warp_intensity(key, img, policy)
     return img, lab
 
 
@@ -339,14 +358,42 @@ def center_crop_norm(image: jnp.ndarray, label: Optional[jnp.ndarray],
     return img, lab
 
 
-@partial(jax.jit, static_argnames=("policy",))
-def augment_batch(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
-                  policy: AugPolicy):
-    """[N,H,W] padded slices -> ([N,h,w,1] float, [N,h,w] int) augmented."""
+def augment_batch_inner(key: jax.Array, images: jnp.ndarray,
+                        labels: jnp.ndarray, policy: AugPolicy,
+                        warp_backend: str = "auto"):
+    """Un-jitted batched augmentation for composition into larger programs
+    (the fused train step). [N,H,W] padded slices ->
+    ([N,h,w,1] float, [N,h,w] int).
+
+    warp_backend: 'pallas' (fused MXU two-hot-matmul kernel,
+    ops/warp_pallas.py — the TPU fast path, interpreted off-TPU),
+    'gather' (jnp reference), or 'auto'."""
+    from maxstyle_tpu.ops import warp_pallas
+
+    if warp_backend == "auto":
+        warp_backend = warp_pallas.warp_backend_default()
+    images = images.astype(jnp.float32)
     keys = jax.random.split(key, images.shape[0])
-    img, lab = jax.vmap(lambda k, i, l: augment_pair(k, i, l, policy))(
-        keys, images.astype(jnp.float32), labels)
+    if warp_backend == "pallas":
+        sy, sx = jax.vmap(lambda k: _aug_coords(k, policy))(keys)
+        interpret = jax.default_backend() in ("cpu", "gpu")
+        img, lab = warp_pallas.warp_bilinear_nearest(
+            images, labels, sy, sx, policy.crop_hw, interpret=interpret)
+        img = jax.vmap(lambda k, i: _post_warp_intensity(k, i, policy))(
+            keys, img)
+    elif warp_backend == "gather":
+        img, lab = jax.vmap(lambda k, i, l: augment_pair(k, i, l, policy))(
+            keys, images, labels)
+    else:
+        raise ValueError(warp_backend)
     return img[..., None], lab
+
+
+@partial(jax.jit, static_argnames=("policy", "warp_backend"))
+def augment_batch(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
+                  policy: AugPolicy, warp_backend: str = "auto"):
+    """[N,H,W] padded slices -> ([N,h,w,1] float, [N,h,w] int) augmented."""
+    return augment_batch_inner(key, images, labels, policy, warp_backend)
 
 
 @partial(jax.jit, static_argnames=("crop_hw", "normalize"))

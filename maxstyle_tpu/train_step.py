@@ -147,10 +147,9 @@ def make_fused_train_step(solver: TripletSegmentationSolver, aug_policy,
 
     def fused(state: TrainState, raw: Dict[str, jnp.ndarray], rng: jax.Array):
         k_aug, k_step = jax.random.split(rng)
-        keys = jax.random.split(k_aug, raw["image"].shape[0])
-        img, lab = jax.vmap(lambda k, i, l: A.augment_pair(k, i, l, aug_policy))(
-            keys, raw["image"].astype(jnp.float32), raw["label"])
-        batch = {"image": img[..., None], "label": lab}
+        img, lab = A.augment_batch_inner(k_aug, raw["image"], raw["label"],
+                                         aug_policy)
+        batch = {"image": img, "label": lab}
         if keep_orig:
             oi, ol = jax.vmap(lambda i, l: A.center_crop_norm(i, l, crop_hw))(
                 raw["image"].astype(jnp.float32), raw["label"])
