@@ -98,6 +98,10 @@ class LearningConfig:
     DSU: bool = False
     adv_noise: bool = False
     adv_bias: bool = False
+    # RandConv view BN choreography: 'frozen' (default; batch stats used,
+    # running stats not written) or 'train' (reference-exact stat updates,
+    # train_adv…:289-326). Measured A/B in docs/VALIDATION.md.
+    randconv_view_bn: str = "frozen"
 
     @classmethod
     def from_dict(cls, d: dict) -> "LearningConfig":
@@ -122,6 +126,7 @@ class LearningConfig:
             DSU=_get(d, "DSU", False),
             adv_noise=_get(d, "adv_noise", False),
             adv_bias=_get(d, "adv_bias", False),
+            randconv_view_bn=_get(d, "randconv_view_bn", "frozen"),
         )
 
 

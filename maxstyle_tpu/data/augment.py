@@ -60,6 +60,13 @@ class AugPolicy:
     bias_field_prob: float = 0.0
     bias_field_magnitude: float = 0.2
     noise_epsilon: float = 0.0
+    # MyRandomPurtarbation V1 (intensity_transform.py:274-372): multi-scale
+    # bias field + additive gaussian noise
+    perturb_v1_prob: float = 0.0
+    perturb_v1_magnitude: float = 0.3
+    perturb_v1_noise_eps: float = 0.01
+    perturb_v1_control_points: Tuple[int, ...] = (2, 4, 8)
+    perturb_v1_max_sigma: float = 16.0
 
 
 def no_aug(pad_hw, crop_hw) -> AugPolicy:
@@ -113,8 +120,10 @@ def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
         "elastic_scale": dataclasses.replace(base, elastic_prob=0.5,
                                              zoom_range=(0.8, 1.2)),
         "elastic_v2": dataclasses.replace(base, elastic_prob=0.5),
+        # V1 = multi-scale field + noise (transform.py:231-238 ->
+        # MyRandomPurtarbation); V2 = smooth b-spline bias field
         "ACDC_affine_perturb": dataclasses.replace(acdc_affine,
-                                                   bias_field_prob=0.5),
+                                                   perturb_v1_prob=0.5),
         "ACDC_affine_perturb_v2": dataclasses.replace(acdc_affine,
                                                       bias_field_prob=0.5),
         "Atrial_basic": dataclasses.replace(
@@ -122,7 +131,7 @@ def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
             rotate_deg=10.0, zoom_range=(0.7, 1.3)),
         "Atrial_perturb": dataclasses.replace(
             base, flip_h=True, flip_v=True, flip_p=0.5, shift_frac=(0.1, 0.1),
-            rotate_deg=10.0, zoom_range=(0.7, 1.3), bias_field_prob=0.5),
+            rotate_deg=10.0, zoom_range=(0.7, 1.3), perturb_v1_prob=0.5),
     }
     if name not in table:
         raise KeyError(f"unknown aug policy {name}; have {sorted(table)}")
@@ -191,6 +200,38 @@ def _fft_gaussian_field(key: jax.Array, hw: Tuple[int, int], sigma: jnp.ndarray,
     sm = jnp.fft.irfft2(jnp.fft.rfft2(u) * transfer[None], s=(h, w))
     # scipy's gaussian_filter is normalized (sum=1); FFT transfer already is.
     return sm[0] * alpha, sm[1] * alpha
+
+
+def _fft_gaussian_smooth(x: jnp.ndarray, sigma) -> jnp.ndarray:
+    """Gaussian-smooth a [H,W] field in Fourier space (traced sigma ok)."""
+    h, w = x.shape
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.rfftfreq(w)[None, :]
+    transfer = jnp.exp(-2.0 * (jnp.pi ** 2) * (sigma ** 2) * (fy ** 2 + fx ** 2))
+    return jnp.fft.irfft2(jnp.fft.rfft2(x) * transfer, s=(h, w))
+
+
+def _multiscale_bias_field(key: jax.Array, hw: Tuple[int, int],
+                           control_points: Tuple[int, ...], max_sigma: float,
+                           magnitude: float) -> jnp.ndarray:
+    """MyRandomPurtarbation (V1) bias field (intensity_transform.py:318-353):
+    sum of coarse-to-fine U(0,1) control grids upsampled to full resolution,
+    final gaussian smooth at max_sigma, normalized to unit mean and clipped
+    to [1-magnitude, 1+magnitude].
+
+    TPU-idiomatic deviations (statistical parity, like the rest of this
+    module): bicubic `jax.image.resize` instead of 8-bit PIL 'L'-mode resize
+    (the reference quantizes the field to uint8 en route — a fidelity loss,
+    not a feature), and Fourier-space smoothing instead of scipy."""
+    h, w = hw
+    keys = jax.random.split(key, len(control_points))
+    total = jnp.zeros((h, w))
+    for k, cp in zip(keys, control_points):
+        grid = jax.random.uniform(k, (cp, cp))
+        total = total + jax.image.resize(grid, (h, w), method="bicubic")
+    total = _fft_gaussian_smooth(total / len(control_points), max_sigma)
+    total = total / (jnp.mean(total) + 1e-12)  # ~identity field (:347-349)
+    return jnp.clip(total, 1.0 - magnitude, 1.0 + magnitude)
 
 
 def _sample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
@@ -316,6 +357,23 @@ def _post_warp_intensity(key: jax.Array, img: jnp.ndarray,
         do_bias = jax.random.uniform(k_gate) < p.bias_field_prob
         field = _bias_field(k_field, (h, w), p.bias_field_magnitude)
         img = jnp.where(do_bias, img * field, img)
+
+    # MyRandomPurtarbation V1: multi-scale bias + gaussian noise, then
+    # min-max + clip to [0,1] (intensity_transform.py:354-366)
+    if p.perturb_v1_prob > 0:
+        k_gate, k_field, k_noise = jax.random.split(
+            jax.random.fold_in(key, 101), 3)
+        do_p = jax.random.uniform(k_gate) < p.perturb_v1_prob
+        field = _multiscale_bias_field(k_field, (h, w),
+                                       p.perturb_v1_control_points,
+                                       p.perturb_v1_max_sigma,
+                                       p.perturb_v1_magnitude)
+        pert = _percentile_minmax(img * field)
+        if p.perturb_v1_noise_eps > 0:
+            pert = pert + p.perturb_v1_noise_eps * jax.random.normal(
+                k_noise, img.shape)
+            pert = jnp.clip(pert, 0.0, 1.0)
+        img = jnp.where(do_p, pert, img)
 
     # gamma augmentation (RandomGamma, intensity_transform.py:68-111):
     # min-max first so the power is well-defined on [0,1]

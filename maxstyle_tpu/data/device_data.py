@@ -24,6 +24,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pack_slices(ds):
+    """Bulk-pack a SliceDataset's training slices: pad each cached volume
+    once, then gather every indexed slice with one native `gather_pack`
+    call (maxstyle_tpu/native) instead of len(ds) Python round-trips.
+    Returns None for dataset types without the raw-volume interface
+    (e.g. ConcatSliceDataset handled below, arbitrary duck-typed sets)."""
+    if not (hasattr(ds, "slice_index") and hasattr(ds, "_load_volume")):
+        if hasattr(ds, "datasets"):  # ConcatSliceDataset: pack each part
+            parts = [_pack_slices(d) for d in ds.datasets]
+            if any(p is None for p in parts):
+                return None
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        return None
+    from maxstyle_tpu import native
+    pids = list(dict.fromkeys(pid for pid, _ in ds.slice_index))
+    pid_pos = {pid: i for i, pid in enumerate(pids)}
+    img_vols, lab_vols = [], []
+    for pid in pids:
+        img, lab, _ = ds._load_volume(pid)
+        img_vols.append(native.crop_or_pad(img.astype(np.float32), ds.pad_hw))
+        lab_vols.append(native.crop_or_pad(lab.astype(np.int32), ds.pad_hw))
+    vol_idx = np.asarray([pid_pos[pid] for pid, _ in ds.slice_index], np.int64)
+    sl_idx = np.asarray([s for _, s in ds.slice_index], np.int64)
+    return (native.gather_pack(img_vols, vol_idx, sl_idx),
+            native.gather_pack(lab_vols, vol_idx, sl_idx))
+
+
 class DeviceDataset:
     """All (padded) training slices as device arrays."""
 
@@ -34,6 +62,10 @@ class DeviceDataset:
 
     @classmethod
     def from_slice_dataset(cls, ds) -> "DeviceDataset":
+        packed = _pack_slices(ds)
+        if packed is not None:
+            imgs, labs = packed
+            return cls(jnp.asarray(imgs), jnp.asarray(labs))
         imgs, labs = [], []
         for i in range(len(ds)):
             img, lab, _ = ds.get_raw_slice(i)

@@ -51,6 +51,7 @@ class Encoder(nn.Module):
     dropout: Optional[float] = None
     act: Optional[str] = "relu"  # 'relu' | 'sigmoid' | None
     num_domains: int = 1
+    if_sn: bool = False  # spectral-norm the down blocks (res_convdown if_SN)
     dtype: Any = None  # activation/compute dtype; params + BN stats stay f32
 
     @nn.compact
@@ -67,20 +68,20 @@ class Encoder(nn.Module):
         down_kw = dict(train=train, domain_id=domain_id,
                        deterministic_dropout=deterministic_dropout)
         x2 = layers.ResConvDown(128 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, dtype=self.dtype,
-                                name="down1")(x1, **down_kw)
+                                num_domains=self.num_domains, if_sn=self.if_sn,
+                                dtype=self.dtype, name="down1")(x1, **down_kw)
         x2 = _maybe_style(x2, style_fns, 2)
         x3 = layers.ResConvDown(256 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, dtype=self.dtype,
-                                name="down2")(x2, **down_kw)
+                                num_domains=self.num_domains, if_sn=self.if_sn,
+                                dtype=self.dtype, name="down2")(x2, **down_kw)
         x3 = _maybe_style(x3, style_fns, 3)
         x4 = layers.ResConvDown(512 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, dtype=self.dtype,
-                                name="down3")(x3, **down_kw)
+                                num_domains=self.num_domains, if_sn=self.if_sn,
+                                dtype=self.dtype, name="down3")(x3, **down_kw)
         x4 = _maybe_style(x4, style_fns, 4)
         x5 = layers.ResConvDown(512 // r, self.norm, self.dropout,
-                                num_domains=self.num_domains, dtype=self.dtype,
-                                name="down4")(x4, **down_kw)
+                                num_domains=self.num_domains, if_sn=self.if_sn,
+                                dtype=self.dtype, name="down4")(x4, **down_kw)
         x5 = _maybe_style(x5, style_fns, 5)
 
         z = layers.conv1x1(self.out_ch, name="final_conv", dtype=self.dtype)(x5)
@@ -137,13 +138,14 @@ class DualBranchEncoder(nn.Module):
     norm: str = "batch"
     dropout: Optional[float] = None
     num_domains: int = 1
+    if_sn: bool = False
     dtype: Any = None
 
     def setup(self):
         self.general_encoder = Encoder(self.z_level_1_ch, self.feature_reduce,
                                        self.norm, self.dropout, act="relu",
                                        num_domains=self.num_domains,
-                                       dtype=self.dtype)
+                                       if_sn=self.if_sn, dtype=self.dtype)
         self.code_decoupler = CodeDecoupler(self.z_level_2_ch, self.norm,
                                             dtype=self.dtype)
 

@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import SpectralNorm
 
 # ---------------------------------------------------------------------------
 # Initializers matching the reference's effective init
@@ -174,6 +175,7 @@ class ResConvDown(nn.Module):
     norm: str = "batch"
     dropout: Optional[float] = None
     num_domains: int = 1  # >1 => domain-specific BN (ds_res_convdown:360-420)
+    if_sn: bool = False  # spectral-norm every conv (res_convdown if_SN, :29-51)
     dtype: Any = None
 
     @nn.compact
@@ -189,15 +191,24 @@ class ResConvDown(nn.Module):
             n2d = Norm2d(self.norm, dtype=self.dtype, name=name)
             return lambda v: n2d(v, train=train)
 
-        x = nn.Conv(in_ch, (3, 3), strides=(2, 2), padding=1,
-                    kernel_init=kaiming_normal_fan_in, dtype=self.dtype,
-                    name="down")(x)
-        h = conv3x3(self.out_ch, name="conv1", dtype=self.dtype)(x)
+        def sn(conv):
+            # torch's spectral_norm runs one power iteration per training
+            # forward; flax's nn.SpectralNorm does the same with
+            # update_stats=train (u/sigma live in 'batch_stats').
+            if not self.if_sn:
+                return conv
+            wrapped = SpectralNorm(conv)
+            return lambda v: wrapped(v, update_stats=train)
+
+        x = sn(nn.Conv(in_ch, (3, 3), strides=(2, 2), padding=1,
+                       kernel_init=kaiming_normal_fan_in, dtype=self.dtype,
+                       name="down"))(x)
+        h = sn(conv3x3(self.out_ch, name="conv1", dtype=self.dtype))(x)
         h = make_norm("norm1")(h)
         h = lrelu(h)
-        h = conv3x3(self.out_ch, name="conv2", dtype=self.dtype)(h)
+        h = sn(conv3x3(self.out_ch, name="conv2", dtype=self.dtype))(h)
         h = make_norm("norm2")(h)
-        res = conv1x1(self.out_ch, name="conv_input", dtype=self.dtype)(x) + h
+        res = sn(conv1x1(self.out_ch, name="conv_input", dtype=self.dtype))(x) + h
         res = lrelu(res)
         if self.dropout is not None:
             res = FixableDropout(self.dropout)(res, deterministic=deterministic_dropout)

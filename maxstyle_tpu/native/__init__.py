@@ -46,6 +46,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.crop_or_pad_i32.argtypes = [i32p, i64, i64, i64, i32p, i64, i64,
                                     ctypes.c_int32]
     lib.minmax_norm_slices_f32.argtypes = [f32p, i64, i64, ctypes.c_float]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.gather_pack_f32.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), i64p, i64p,
+        i64, i64, i64, f32p]
     return lib
 
 
@@ -76,6 +80,34 @@ def crop_or_pad(volume: np.ndarray, target_hw, pad_value: float = 0.0
         return out
     from maxstyle_tpu.data import medio
     return medio.crop_or_pad(volume, target_hw, pad_value)
+
+
+def gather_pack(volumes, vol_idx, slice_idx) -> np.ndarray:
+    """Pack out[i] = volumes[vol_idx[i]][slice_idx[i]] from equally-shaped
+    [S,H,W] 4-byte-element volumes into one [N,H,W] batch with a single
+    native call (one memcpy per slice, no per-slice Python).
+
+    Accepts float32 or int32 volumes: the kernel is a pure memcpy, so int32
+    data is routed through the f32 entry point via a bit-preserving view.
+    """
+    vols = [np.ascontiguousarray(v) for v in volumes]
+    dtype = vols[0].dtype
+    assert dtype in (np.float32, np.int32) and dtype.itemsize == 4
+    h, w = vols[0].shape[1:]
+    vol_idx = np.ascontiguousarray(vol_idx, np.int64)
+    slice_idx = np.ascontiguousarray(slice_idx, np.int64)
+    n = vol_idx.shape[0]
+    out = np.empty((n, h, w), dtype)
+    lib = get_lib()
+    if lib is not None:
+        fptr = ctypes.POINTER(ctypes.c_float)
+        ptrs = (fptr * len(vols))(*[v.ctypes.data_as(fptr) for v in vols])
+        lib.gather_pack_f32(ptrs, vol_idx, slice_idx, n, h, w,
+                            out.view(np.float32))
+        return out
+    for i in range(n):
+        out[i] = vols[vol_idx[i]][slice_idx[i]]
+    return out
 
 
 def minmax_norm_slices(volume: np.ndarray, eps: float = 1e-20) -> np.ndarray:

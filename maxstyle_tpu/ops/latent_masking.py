@@ -125,7 +125,11 @@ def perturb_latent_code(code: jnp.ndarray, decode_fn: Callable,
                         key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch over mask methods (advanced_triplet…perturb_latent_code
     :573-629). 'random' draws uniformly from {dropout, spatial, channel};
-    'RSC'/'no_dropout' from {spatial, channel} — via lax.switch."""
+    'RSC'/'no_dropout' from {spatial, channel} — via lax.switch.
+
+    All branches are cast to code.dtype: the grad-probe branches compute the
+    mask in f32 (loss/one-hot promotion) while the dropout branch stays in
+    the code's dtype, and lax.switch requires identical output types."""
     k_sel, k_op = jax.random.split(key)
 
     def do_channel(k):
@@ -133,20 +137,22 @@ def perturb_latent_code(code: jnp.ndarray, decode_fn: Callable,
             code, decode_fn, target, num_classes=num_classes,
             percentile=threshold, random_threshold=random_threshold,
             loss_type=loss_type, if_detach=if_detach, if_soft=if_soft, key=k)
-        return masked, jnp.broadcast_to(m, code.shape)
+        return (masked.astype(code.dtype),
+                jnp.broadcast_to(m, code.shape).astype(code.dtype))
 
     def do_spatial(k):
         masked, m = mask_latent_code_spatial_wise(
             code, decode_fn, target, num_classes=num_classes,
             percentile=threshold, random_threshold=random_threshold,
             loss_type=loss_type, if_detach=if_detach, if_soft=if_soft, key=k)
-        return masked, jnp.broadcast_to(m, code.shape)
+        return (masked.astype(code.dtype),
+                jnp.broadcast_to(m, code.shape).astype(code.dtype))
 
     def do_dropout(k):
         masked, m = dropout2d_mask(code, threshold, k)
         if if_detach:
             masked = jax.lax.stop_gradient(masked)
-        return masked, m
+        return masked.astype(code.dtype), m.astype(code.dtype)
 
     if perturb_type == "dropout":
         return do_dropout(k_op)

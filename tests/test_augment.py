@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import dataclasses
 import pytest
 
 from maxstyle_tpu.data import augment as A
@@ -109,3 +110,79 @@ class TestElasticField:
         r_s = tv(dy_s) / (float(jnp.abs(dy_s).mean()) + 1e-9)
         r_l = tv(dy_l) / (float(jnp.abs(dy_l).mean()) + 1e-9)
         assert r_l < r_s
+
+
+class TestPerturbV1:
+    """MyRandomPurtarbation V1 (intensity_transform.py:274-372)."""
+
+    def test_field_properties(self):
+        from maxstyle_tpu.data.augment import _multiscale_bias_field
+        f = _multiscale_bias_field(jax.random.key(0), (64, 64), (2, 4, 8),
+                                   16.0, 0.3)
+        f = np.asarray(f)
+        assert f.shape == (64, 64)
+        assert f.min() >= 0.7 - 1e-6 and f.max() <= 1.3 + 1e-6
+        assert f.std() > 1e-4  # non-degenerate spatial modulation
+        # smooth: neighbouring-pixel deltas are small vs the field's range
+        assert np.abs(np.diff(f, axis=0)).max() < 0.05
+
+    def test_policy_applies_noise_and_stays_in_range(self):
+        from maxstyle_tpu.data import augment
+        pol = dataclasses.replace(augment.no_aug((64, 64), (48, 48)),
+                                  perturb_v1_prob=1.0)
+        img = jnp.asarray(np.random.RandomState(0).rand(64, 64), jnp.float32)
+        lab = jnp.zeros((64, 64), jnp.int32)
+        out, _ = augment.augment_pair(jax.random.key(0), img, lab, pol)
+        out = np.asarray(out)
+        assert out.shape == (48, 48)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # and the perturbation actually changed the image vs no_aug
+        base, _ = augment.augment_pair(jax.random.key(0), img, lab,
+                                       augment.no_aug((64, 64), (48, 48)))
+        assert np.abs(out - np.asarray(base)).max() > 1e-3
+
+    def test_v1_policies_registered(self):
+        from maxstyle_tpu.data.augment import get_policy
+        assert get_policy("ACDC_affine_perturb").perturb_v1_prob == 0.5
+        assert get_policy("ACDC_affine_perturb").bias_field_prob == 0.0
+        assert get_policy("Atrial_perturb").perturb_v1_prob == 0.5
+        assert get_policy("ACDC_affine_perturb_v2").bias_field_prob == 0.5
+
+
+class TestClahe:
+    """CLAHE host transform (intensity_transform.py:12-65)."""
+
+    def test_uniform_image_is_stable(self):
+        from maxstyle_tpu.data.clahe import equalize_adapthist
+        out = equalize_adapthist(np.full((64, 64), 0.5, np.float32))
+        assert out.shape == (64, 64)
+        assert np.all(np.isfinite(out))
+
+    def test_enhances_local_contrast(self):
+        from maxstyle_tpu.data.clahe import equalize_adapthist
+        rng = np.random.RandomState(0)
+        # low-contrast detail on a strong gradient: global equalization
+        # can't recover it, CLAHE should
+        gradient = np.linspace(0, 1, 96)[:, None] * np.ones((96, 96))
+        detail = 0.02 * rng.rand(96, 96)
+        img = (gradient * 0.9 + detail).astype(np.float32)
+        out = equalize_adapthist(img, clip_limit=0.9)
+        # local std (detail contrast) increases markedly
+        def local_std(x):
+            return np.mean([x[i:i+12, j:j+12].std()
+                            for i in range(0, 96, 12) for j in range(0, 96, 12)])
+        assert local_std(out) > 2.0 * local_std(detail)
+        assert 0.0 <= out.min() and out.max() <= 1.0
+
+    def test_random_clahe_preserves_range_and_labels(self):
+        from maxstyle_tpu.data.clahe import random_clahe
+        rng = np.random.RandomState(3)
+        vol = (rng.rand(2, 32, 32) * 4 - 1).astype(np.float32)
+        lab = rng.randint(0, 3, (2, 32, 32))
+        out, lab2 = random_clahe(np.random.RandomState(0), vol, label=lab)
+        assert out.shape == vol.shape
+        np.testing.assert_array_equal(lab2, lab)
+        # per-slice range recovered (:55-57)
+        for i in range(2):
+            assert abs(out[i].min() - vol[i].min()) < 1e-4
+            assert abs(out[i].max() - vol[i].max()) < 1e-3

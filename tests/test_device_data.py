@@ -62,3 +62,9 @@ class TestDeviceResident:
         dds = DeviceDataset.from_slice_dataset(sds)
         assert len(dds) == len(sds)
         assert dds.images.shape[1:] == (40, 40)
+        # the native bulk-pack path must agree with the per-slice loop
+        import numpy as np
+        for i in range(len(sds)):
+            img, lab, _ = sds.get_raw_slice(i)
+            np.testing.assert_array_equal(np.asarray(dds.images[i]), img)
+            np.testing.assert_array_equal(np.asarray(dds.labels[i]), lab)

@@ -1,0 +1,60 @@
+"""Golden-loss regression values for every method branch at fixed seeds.
+
+These pin the numerical behavior of the full train step per method
+(train_adv_supervised_segmentation_triplet.py:201-530 branch family) on the
+CPU backend with float32 matmul precision (tests/conftest.py). Any semantic
+change to a branch — loss weighting, masking math, BN choreography, PRNG
+threading — moves these numbers; pure refactors must not.
+
+Values recorded 2026-08-16 (round 2) with:
+  init key 0, batch key 1, step key 2, batch_size 4, 64x64 synthetic batch.
+Tolerance 1e-2 relative: XLA:CPU fusion decisions vary per compile instance
+(persistent-cache hit vs fresh compile reorders the big KL/CE reductions),
+measured at up to 0.3% on the rand_conv channel; genuine semantic changes
+(weighting, masking, BN mode affecting gradients) move these numbers far
+more than 1%.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from maxstyle_tpu.solver import TripletSegmentationSolver
+from maxstyle_tpu.train_step import make_train_step
+from tests.test_train_step import small_config, synthetic_batch
+
+pytestmark = pytest.mark.slow  # one full-step compile per branch
+
+GOLDEN = {
+    "standard": {"loss/standard/seg": 4.962938, "loss/total": 4.995339},
+    "latent_DA": {"loss/standard/seg": 4.962938, "loss/total": 9.917671},
+    "RSC": {"loss/standard/seg": 4.962938, "loss/total": 14.832249,
+            "loss/hard/RSC": 9.836909},
+    "mix_style": {"loss/standard/seg": 4.962938, "loss/total": 9.994289,
+                  "loss/hard/mix_style": 4.998950},
+    "DSU": {"loss/standard/seg": 4.962938, "loss/total": 9.982223,
+            "loss/hard/DSU": 4.986884},
+    "rand_conv": {"loss/standard/seg": 4.962938, "loss/total": 6.355825,
+                  "loss/hard/rand_conv": 1.360487},
+    "adv_noise": {"loss/standard/seg": 4.962938, "loss/total": 18.479225,
+                  "loss/hard/adv_noise": 13.483886},
+    "adv_bias": {"loss/standard/seg": 4.962938, "loss/total": 18.216017,
+                 "loss/hard/adv_bias": 13.220678},
+}
+
+
+@pytest.mark.parametrize("method", sorted(GOLDEN))
+def test_branch_golden_losses(method):
+    kw = {} if method == "standard" else {method: True}
+    cfg = small_config(**kw)
+    solver = TripletSegmentationSolver(cfg)
+    state = solver.init_state(jax.random.key(0), (64, 64), batch_size=4)
+    step = make_train_step(solver)
+    batch = synthetic_batch(jax.random.key(1))
+    _, metrics = step(state, batch, jax.random.key(2))
+    for channel, want in GOLDEN[method].items():
+        got = float(metrics[channel])
+        # atol covers the compile-instance reduction-order drift, which is
+        # ~0.02 absolute regardless of channel magnitude
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=0.05,
+                                   err_msg=f"{method}:{channel}")

@@ -145,3 +145,46 @@ class TestRegistry:
         mods = build_modules(spec)
         assert set(mods) == {"image_encoder", "segmentation_decoder",
                              "image_decoder", "shape_encoder", "shape_decoder"}
+
+
+class TestSpectralNorm:
+    """res_convdown's if_SN option (encoder_decoder.py:29-51): every conv in
+    the down block runs under spectral normalization."""
+
+    def test_sn_blocks_forward_and_track_sigma(self):
+        from maxstyle_tpu.models.layers import ResConvDown
+        m = ResConvDown(8, if_sn=True)
+        x = jnp.ones((2, 16, 16, 4))
+        v = jit_init(m, jax.random.key(0), x, train=True)
+        # one sigma/u pair per conv (down, conv1, conv2, conv_input)
+        sn_groups = [k for k in v["batch_stats"] if k.startswith("SpectralNorm")]
+        assert len(sn_groups) == 4
+        out, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 8, 8, 8)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_sigma_converges_to_top_singular_value(self):
+        from maxstyle_tpu.models.layers import ResConvDown
+        m = ResConvDown(8, if_sn=True)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 4), jnp.float32)
+        v = jit_init(m, jax.random.key(0), x, train=True)
+        # several power iterations (one per training forward)
+        for _ in range(30):
+            _, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+            v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+        kern = np.asarray(v["params"]["conv1"]["kernel"])
+        true_sigma = np.linalg.svd(kern.reshape(-1, kern.shape[-1]),
+                                   compute_uv=False)[0]
+        sn = [g for g in v["batch_stats"] if "SpectralNorm" in g]
+        sigmas = {kk: float(vv) for g in sn
+                  for kk, vv in v["batch_stats"][g].items() if "sigma" in kk}
+        got = sigmas["conv1/kernel/sigma"]
+        np.testing.assert_allclose(got, true_sigma, rtol=1e-2)
+
+    def test_encoder_if_sn_plumbing(self):
+        enc = DualBranchEncoder(z_level_1_ch=16, z_level_2_ch=16,
+                                feature_reduce=8, if_sn=True)
+        x = jnp.ones((1, 32, 32, 1))
+        v = jit_init(enc, jax.random.key(0), x, train=False)
+        z, zs = jit_apply(enc, v, x, train=False)
+        assert z.shape == (1, 2, 2, 16) and zs.shape == (1, 2, 2, 16)

@@ -40,6 +40,27 @@ class TestCropOrPad:
         assert out[0, 0, 0] == -1.0 and out[0, 4, 4] == 1.0
 
 
+class TestGatherPack:
+    @pytest.mark.parametrize("dtype", [np.float32, np.int32])
+    def test_matches_fancy_indexing(self, lib, dtype):
+        rng = np.random.RandomState(0)
+        vols = [(rng.rand(s, 6, 7) * 100).astype(dtype) for s in (3, 5, 2)]
+        vol_idx = np.asarray([0, 2, 1, 1, 0], np.int64)
+        sl_idx = np.asarray([2, 1, 4, 0, 0], np.int64)
+        got = native.gather_pack(vols, vol_idx, sl_idx)
+        want = np.stack([vols[v][s] for v, s in zip(vol_idx, sl_idx)])
+        assert got.dtype == dtype
+        np.testing.assert_array_equal(got, want)
+
+    def test_fallback_without_native(self, monkeypatch):
+        monkeypatch.setattr(native, "_LIB", None)
+        monkeypatch.setattr(native, "_TRIED", True)
+        vols = [np.arange(12, dtype=np.float32).reshape(3, 2, 2)]
+        out = native.gather_pack(vols, [0, 0], [2, 0])
+        np.testing.assert_array_equal(out[0], vols[0][2])
+        np.testing.assert_array_equal(out[1], vols[0][0])
+
+
 class TestMinMaxNorm:
     def test_matches_numpy(self, lib):
         vol = (np.random.RandomState(0).rand(4, 8, 8) * 9 - 3).astype(np.float32)
