@@ -27,10 +27,52 @@ from maxstyle_tpu.models.encoder_decoder import StyleFns, _maybe_style
 from maxstyle_tpu.models.unet import CodeFilter
 
 
+class SelfAttention(nn.Module):
+    """MONAI SABlock semantics (monai/networks/blocks/selfattention.py):
+    fused qkv Linear WITHOUT bias (qkv_bias=False default), token layout
+    (qkv, heads, head_dim) per the `b h (qkv l d)` rearrange, scaled
+    dot-product with dropout on the attention weights, out-projection
+    Linear WITH bias + output dropout. Hand-rolled (not flax MHA) so the
+    bias structure and weight layout map 1:1 onto MONAI checkpoints
+    (utils/torch_import.convert_unetr_vit)."""
+
+    hidden_size: int = 768
+    num_heads: int = 12
+    dropout_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, _ = x.shape
+        heads = self.num_heads
+        head_dim = self.hidden_size // heads
+        qkv = nn.Dense(3 * self.hidden_size, use_bias=False,
+                       dtype=self.dtype, name="qkv")(x)
+        # MONAI rearrange "b h (qkv l d) -> qkv b l h d"
+        qkv = qkv.reshape(b, n, 3, heads, head_dim)
+        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [b, heads, n, d]
+        k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+        att = jnp.einsum("bhxd,bhyd->bhxy", q, k) * (head_dim ** -0.5)
+        att = jax.nn.softmax(att, axis=-1)
+        if self.dropout_rate > 0.0:
+            att = nn.Dropout(self.dropout_rate,
+                             deterministic=deterministic)(att)
+        out = jnp.einsum("bhxy,bhyd->bhxd", att, v)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, self.hidden_size)
+        out = nn.Dense(self.hidden_size, dtype=self.dtype,
+                       name="out_proj")(out)
+        if self.dropout_rate > 0.0:
+            out = nn.Dropout(self.dropout_rate,
+                             deterministic=deterministic)(out)
+        return out
+
+
 class TransformerBlock(nn.Module):
-    """Pre-norm ViT block (MONAI TransformerBlock): attention + MLP, each
-    with dropout (MONAI SABlock/MLPBlock apply dropout_rate to attention
-    weights/projection and after each MLP linear)."""
+    """Pre-norm ViT block (MONAI TransformerBlock):
+    x = x + attn(norm1(x)); x = x + mlp(norm2(x)). MLPBlock is
+    linear1 -> exact-erf GELU -> drop -> linear2 -> drop (torch nn.GELU is
+    the exact erf form, NOT flax's default tanh approximation)."""
 
     hidden_size: int = 768
     mlp_dim: int = 3072
@@ -40,20 +82,16 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.hidden_size,
-            dropout_rate=self.dropout_rate, dtype=self.dtype,
-            deterministic=deterministic)(h, h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + SelfAttention(self.hidden_size, self.num_heads,
+                              self.dropout_rate, dtype=self.dtype,
+                              name="attn")(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="linear1")(h)
+        h = nn.gelu(h, approximate=False)
         if self.dropout_rate > 0.0:
             h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        x = x + h
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
-        h = nn.gelu(h)
-        if self.dropout_rate > 0.0:
-            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        h = nn.Dense(self.hidden_size, dtype=self.dtype)(h)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear2")(h)
         if self.dropout_rate > 0.0:
             h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         return x + h
@@ -92,6 +130,9 @@ class ViT(nn.Module):
                                  dtype=self.dtype,
                                  name=f"block{i}")(x, deterministic=not train)
             hidden_states.append(x)
+        # MONAI ViT applies a trailing LayerNorm to the FINAL tokens only
+        # (vit.py: x = self.norm(x)); hidden_states stay un-normed
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return x, hidden_states
 
 
@@ -185,17 +226,21 @@ class UNETREncoder(nn.Module):
 
     def encode(self, x, train: bool = True, domain_id: int = 0,
                style_fns: StyleFns = None, deterministic_dropout: bool = False):
-        _, hidden = self.vit(x, train=train)
-        z3, z6, z9, z12 = hidden[2], hidden[5], hidden[8], hidden[11]
+        # reference taps hidden_states_out[3]/[6]/[9] — the outputs of
+        # blocks 4/7/10 (0-indexed list appended AFTER each block), and
+        # dec4 is the final tokens AFTER the ViT's trailing LayerNorm
+        # (unetr.py:353-363 + monai vit.py forward)
+        final, hidden = self.vit(x, train=train)
+        z4, z7, z10 = hidden[3], hidden[6], hidden[9]
         enc1 = self.encoder1(x, train=train)
         enc1 = _maybe_style(enc1, style_fns, 1)
-        enc2 = self.encoder2(self._proj(z3), train=train)
+        enc2 = self.encoder2(self._proj(z4), train=train)
         enc2 = _maybe_style(enc2, style_fns, 2)
-        enc3 = self.encoder3(self._proj(z6), train=train)
+        enc3 = self.encoder3(self._proj(z7), train=train)
         enc3 = _maybe_style(enc3, style_fns, 3)
-        enc4 = self.encoder4(self._proj(z9), train=train)
+        enc4 = self.encoder4(self._proj(z10), train=train)
         enc4 = _maybe_style(enc4, style_fns, 4)
-        dec4 = self._proj(z12)
+        dec4 = self._proj(final)
         dec4 = _maybe_style(dec4, style_fns, 5)
         return [enc1, enc2, enc3, enc4, dec4]
 

@@ -229,3 +229,44 @@ def import_snapshot(path: str, spec=None):
     meta = {"epoch": int(snap.get("epoch", 0)),
             "network_type": snap.get("network_type", "")}
     return params, stats, meta
+
+
+def _linear(sd, name):
+    """torch nn.Linear weight [out,in] -> flax Dense kernel [in,out]."""
+    out = {"kernel": np.asarray(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _layernorm(sd, name):
+    return {"scale": np.asarray(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def convert_unetr_vit(sd, num_layers: int = 12) -> dict:
+    """MONAI ViT state dict -> Flax models.unetr.ViT params.
+
+    MONAI naming (monai/networks/nets/vit.py + blocks): patch_embedding.
+    patch_embeddings (conv), patch_embedding.position_embeddings,
+    blocks.{i}.{norm1,attn.qkv,attn.out_proj,norm2,mlp.linear1,mlp.linear2},
+    trailing `norm`. The fused qkv feature dim is laid out (qkv, head, dim)
+    outermost-first in BOTH frameworks (the `b h (qkv l d)` rearrange and
+    our reshape), so a plain transpose suffices — no head permutation.
+    """
+    params = {
+        "patch_embed": _conv(sd, "patch_embedding.patch_embeddings"),
+        "pos_embedding": np.asarray(sd["patch_embedding.position_embeddings"]),
+        "norm": _layernorm(sd, "norm"),
+    }
+    for i in range(num_layers):
+        p = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "attn": {"qkv": _linear(sd, f"{p}.attn.qkv"),
+                     "out_proj": _linear(sd, f"{p}.attn.out_proj")},
+            "linear1": _linear(sd, f"{p}.mlp.linear1"),
+            "linear2": _linear(sd, f"{p}.mlp.linear2"),
+        }
+    return params

@@ -1,11 +1,10 @@
-"""Tests for 3D blocks and container utilities."""
+"""Tests for 3D blocks."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from maxstyle_tpu.models.blocks3d import FixableDropout3d, UnetConv3, UnetUp3
-from maxstyle_tpu.utils.containers import Dictate, MaxStack
 from tests.helpers import jit_apply, jit_init
 
 KEY = jax.random.key(0)
@@ -35,15 +34,3 @@ class TestBlocks3D:
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
         y3 = m.apply({}, x, deterministic=True)
         np.testing.assert_array_equal(np.asarray(y3), np.asarray(x))
-
-
-class TestContainers:
-    def test_max_stack_bounded(self):
-        s = MaxStack(maxlen=2)
-        for i in range(5):
-            s.push(i)
-        assert len(s) == 2 and s.peek() == 4 and s.pop() == 4
-
-    def test_dictate_attribute_access(self):
-        d = Dictate({"a": {"b": 1}, "c": 2})
-        assert d.a.b == 1 and d.c == 2 and d.get("missing", 7) == 7
