@@ -183,27 +183,47 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, style_fns: StyleFns = None,
-                 deterministic_dropout: bool = False):
+                 deterministic_dropout: bool = False,
+                 start_at_hook: Optional[int] = None,
+                 stop_before_hook: Optional[int] = None):
+        """The forward is organized as six (conv, hook) stages:
+        stage 0 = (identity, hook0), stages 1-4 = (up_i, hook_i),
+        stage 5 = (final 1x1 + activation, hook5).
+
+        `stop_before_hook=k` runs stages 0..k-1 plus stage k's conv and
+        returns the PRE-hook-k activation; `start_at_hook=k` takes that
+        activation, applies hook k and runs the rest. This lets the
+        MaxStyle inner loop hoist the style-independent decoder prefix out
+        of the adversarial scan (solver.generate_max_style_image) — the
+        split is exact because 'frozen'-mode BN recomputes identical batch
+        statistics from the identical prefix input every iteration."""
         r = self.feature_reduce
         d = self.dtype
         kw = dict(train=train, deterministic_dropout=deterministic_dropout)
-        x = _maybe_style(x, style_fns, 0)
-        x = layers.ResUp(256 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up1")(x, **kw)
-        x = _maybe_style(x, style_fns, 1)
-        x = layers.ResUp(128 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up2")(x, **kw)
-        x = _maybe_style(x, style_fns, 2)
-        x = layers.ResUp(64 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up3")(x, **kw)
-        x = _maybe_style(x, style_fns, 3)
-        x = layers.ResUp(64 // r, self.up_type, self.norm, self.dropout, dtype=d, name="up4")(x, **kw)
-        x = _maybe_style(x, style_fns, 4)
-        x = layers.conv1x1(self.out_ch, name="final_conv", dtype=d)(x)
-        if self.last_act == "sigmoid":
-            x = nn.sigmoid(x)
-        elif self.last_act == "instance_norm":
-            x = instance_norm(x)
-        elif self.last_act is not None:
-            raise NotImplementedError(self.last_act)
-        x = _maybe_style(x, style_fns, 5)
+        chans = [256 // r, 128 // r, 64 // r, 64 // r]
+
+        def conv_stage(i, v):
+            if i == 0:
+                return v
+            if i == 5:
+                v = layers.conv1x1(self.out_ch, name="final_conv", dtype=d)(v)
+                if self.last_act == "sigmoid":
+                    v = nn.sigmoid(v)
+                elif self.last_act == "instance_norm":
+                    v = instance_norm(v)
+                elif self.last_act is not None:
+                    raise NotImplementedError(self.last_act)
+                return v
+            return layers.ResUp(chans[i - 1], self.up_type, self.norm,
+                                self.dropout, dtype=d, name=f"up{i}")(v, **kw)
+
+        start = 0 if start_at_hook is None else start_at_hook
+        for i in range(start, 6):
+            if not (start_at_hook is not None and i == start):
+                x = conv_stage(i, x)
+            if stop_before_hook is not None and i == stop_before_hook:
+                return x
+            x = _maybe_style(x, style_fns, i)
         return x
 
 

@@ -270,8 +270,8 @@ class TripletSegmentationSolver:
         return self._route_codes(z, z_s), stats
 
     def decode(self, name: str, params, stats, code, *, mode: str, rngs=None,
-               style_fns=None):
-        kwargs = {}
+               style_fns=None, **extra):
+        kwargs = dict(extra)
         if style_fns is not None:
             kwargs["style_fns"] = style_fns
         return self.apply_module(name, params, stats, code, mode=mode,
@@ -430,6 +430,22 @@ class TripletSegmentationSolver:
         else:
             apply_style = ms.apply_maxstyle
 
+        # hoist the style-independent decoder prefix out of the inner loop:
+        # with hooks at e.g. [3,4,5], up1..up3 never see a style op, so we
+        # compute them ONCE and rerun only the suffix per Adam iteration
+        # (the reference re-decodes the whole path every iteration,
+        # advanced_triplet…:530-552). Only the plain Decoder supports the
+        # split; Unet/UNETR image decoders fall back to full decodes.
+        from maxstyle_tpu.models.encoder_decoder import Decoder as _PlainDecoder
+        min_idx = min(indexes)
+        split = (min_idx > 0
+                 and isinstance(self.modules.get("image_decoder"), _PlainDecoder))
+        if split:
+            prefix, _ = self.decode("image_decoder", p_sg, s_sg, code,
+                                    mode="frozen", rngs=rngs,
+                                    stop_before_hook=min_idx)
+            prefix = sg(prefix)
+
         def decode_with_styles(sp, st):
             new_st = dict(st)
 
@@ -441,8 +457,15 @@ class TripletSegmentationSolver:
                 return hook
 
             style_fns = {idx: make_hook(idx) for idx in indexes}
-            recon, _ = self.decode("image_decoder", p_sg, s_sg, code,
-                                   mode="frozen", rngs=rngs, style_fns=style_fns)
+            if split:
+                recon, _ = self.decode("image_decoder", p_sg, s_sg, prefix,
+                                       mode="frozen", rngs=rngs,
+                                       style_fns=style_fns,
+                                       start_at_hook=min_idx)
+            else:
+                recon, _ = self.decode("image_decoder", p_sg, s_sg, code,
+                                       mode="frozen", rngs=rngs,
+                                       style_fns=style_fns)
             return recon, new_st
 
         # first decode caches the stat spreads

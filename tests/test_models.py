@@ -188,3 +188,31 @@ class TestSpectralNorm:
         v = jit_init(enc, jax.random.key(0), x, train=False)
         z, zs = jit_apply(enc, v, x, train=False)
         assert z.shape == (1, 2, 2, 16) and zs.shape == (1, 2, 2, 16)
+
+
+class TestDecoderSplit:
+    """Prefix/suffix split used to hoist the style-independent decoder
+    prefix out of the MaxStyle inner loop: composition must equal the
+    monolithic forward exactly."""
+
+    def test_split_composition_is_exact(self):
+        dec = Decoder(out_ch=1, feature_reduce=8, up_type="NN",
+                      last_act="sigmoid")
+        z = jnp.asarray(np.random.RandomState(0).rand(2, 4, 4, 64),
+                        jnp.float32)
+        v = jit_init(dec, jax.random.key(0), z, train=False)
+        style_fns = {3: lambda x: x * 1.5 + 0.1, 5: lambda x: 1.0 - x}
+        full = dec.apply(v, z, train=False, style_fns=style_fns)
+        for k in (1, 2, 3):
+            prefix = dec.apply(v, z, train=False, stop_before_hook=k)
+            out = dec.apply(v, prefix, train=False, style_fns=style_fns,
+                            start_at_hook=k)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(full),
+                                          err_msg=f"split at {k}")
+
+    def test_param_structure_unchanged(self):
+        dec = Decoder(out_ch=4, feature_reduce=8)
+        z = jnp.zeros((1, 4, 4, 64))
+        v = jit_init(dec, jax.random.key(0), z, train=False)
+        names = set(v["params"])
+        assert names == {"up1", "up2", "up3", "up4", "final_conv"}
