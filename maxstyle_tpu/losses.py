@@ -102,7 +102,9 @@ def soft_dice_loss(logits: jnp.ndarray, target: jnp.ndarray, num_classes: int,
     logits, target = _f32(logits), _f32(target)
     b = logits.shape[0]
     probs = jax.nn.softmax(logits, axis=-1)
-    if target.ndim == 3:
+    if target.ndim == logits.ndim - 1:
+        # integer label map, 2D [B,H,W] or 3D [B,D,H,W]
+        # (SoftDiceLoss3D:589-623 is this same arithmetic over NDHW)
         tgt = one_hot(target, num_classes)
     else:
         tgt = target if is_gt else jax.nn.softmax(target, axis=-1)

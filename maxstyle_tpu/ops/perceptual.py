@@ -19,7 +19,9 @@ from flax import linen as nn
 
 # VGG16 conv plan: (out_channels, n_convs) per block
 _VGG16_PLAN = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
-# block boundaries after which the reference taps features (blocks 1..4)
+# `layers` uses the reference's 1-based block numbering
+# (custom_loss.py:731-738: block i contributes when i+1 in layers); the
+# reference builds only blocks 1..4 (features[:23], through conv4_3+relu)
 _DEFAULT_LAYERS = (1, 2, 3, 4)
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -29,10 +31,12 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class VGG16Features(nn.Module):
     """Conv trunk emitting per-block activations (pre-pool)."""
 
+    n_blocks: int = 4  # the reference builds features[:23] = blocks 1..4
+
     @nn.compact
     def __call__(self, x):
         feats = []
-        for bi, (ch, n_convs) in enumerate(_VGG16_PLAN):
+        for bi, (ch, n_convs) in enumerate(_VGG16_PLAN[:self.n_blocks]):
             for ci in range(n_convs):
                 x = nn.Conv(ch, (3, 3), padding=1,
                             name=f"block{bi + 1}_conv{ci + 1}")(x)
@@ -60,7 +64,7 @@ def vgg_perceptual_loss(pred: jnp.ndarray, target: jnp.ndarray,
     """L1 distance between VGG features of pred/target ([N,H,W,1] or
     [N,H,W,3] in [0,1]); grayscale inputs are channel-replicated and
     ImageNet-normalized like the reference."""
-    model = VGG16Features()
+    model = VGG16Features(n_blocks=max(layers))
     if variables is None:
         if weights_path is not None:
             variables = load_vgg_params(weights_path)
@@ -81,5 +85,30 @@ def vgg_perceptual_loss(pred: jnp.ndarray, target: jnp.ndarray,
     f_tgt = model.apply(variables, prep(jax.lax.stop_gradient(target)))
     loss = 0.0
     for li in layers:
-        loss = loss + jnp.mean(jnp.abs(f_pred[li] - f_tgt[li]))
+        # 1-based block number -> feats index (reference block i taps when
+        # i+1 in layers == our feats[li-1])
+        loss = loss + jnp.mean(jnp.abs(f_pred[li - 1] - f_tgt[li - 1]))
     return loss
+
+
+# torchvision vgg16().features conv indices per block (0-based Sequential
+# positions of the Conv2d layers; ReLU/MaxPool occupy the gaps)
+_TORCHVISION_CONV_IDX = [(0, 2), (5, 7), (10, 12, 14), (17, 19, 21),
+                         (24, 26, 28)]
+
+
+def convert_vgg16_torchvision(sd) -> dict:
+    """torchvision vgg16 state dict ('features.{i}.weight' OIHW convs) ->
+    our VGG16Features params tree (HWIO). Accepts partial dicts covering at
+    least blocks 1..4 (the reference never builds block 5)."""
+    params = {}
+    for bi, conv_ids in enumerate(_TORCHVISION_CONV_IDX):
+        for ci, fi in enumerate(conv_ids):
+            key = f"features.{fi}.weight"
+            if key not in sd:
+                continue
+            params[f"block{bi + 1}_conv{ci + 1}"] = {
+                "kernel": np.asarray(sd[key]).transpose(2, 3, 1, 0),
+                "bias": np.asarray(sd[f"features.{fi}.bias"]),
+            }
+    return params

@@ -1,9 +1,12 @@
 """Pairwise binary-segmentation measures — the niftynet-style API surface.
 
-≙ common_utils/hausdorff_util.PairwiseMeasures:14-612 (border maps, 95% HD,
-overlap/volume statistics) — off the main evaluation path (SURVEY §2.6); a
-thin class exposing the measure functions of maxstyle_tpu.metrics under the
-familiar method names.
+≙ common_utils/hausdorff_util.py:14-612 (PairwiseMeasures + the regression
+variant) — off the main evaluation path (SURVEY §2.6) but part of the
+library surface. Distance/overlap primitives delegate to maxstyle_tpu
+.metrics; the count/rate/center-of-mass/connected-component family is
+implemented here with vectorized numpy (the reference's per-label Python
+loops become np.isin masks). Selection, header and to_string follow the
+reference's `m_dict` protocol so downstream CSV tooling carries over.
 """
 
 from __future__ import annotations
@@ -17,49 +20,239 @@ from maxstyle_tpu import metrics
 
 
 class PairwiseMeasures:
+    """All measures of hausdorff_util.PairwiseMeasures:92-563 for a binary
+    (seg, ref) pair. `measures` selects the m_dict subset used by
+    header_str/to_string; `num_neighbors` sets the connected-component
+    connectivity (8 = full 2D neighborhood, as the reference defaults)."""
+
     def __init__(self, seg: np.ndarray, ref: np.ndarray,
+                 measures: Optional[Sequence[str]] = None,
+                 num_neighbors: int = 8,
                  pixdim: Optional[Sequence[float]] = None):
         self.seg = np.asarray(seg).astype(bool)
         self.ref = np.asarray(ref).astype(bool)
         self.pixdim = tuple(pixdim) if pixdim is not None else None
+        self.neigh = num_neighbors
+        self.m_dict = {
+            "ref volume": (self.n_pos_ref, "Volume (Ref)"),
+            "seg volume": (self.n_pos_seg, "Volume (Seg)"),
+            "ref bg volume": (self.n_neg_ref, "Volume (Ref bg)"),
+            "seg bg volume": (self.n_neg_seg, "Volume (Seg bg)"),
+            "fp": (self.fp, "FP"),
+            "fn": (self.fn, "FN"),
+            "tp": (self.tp, "TP"),
+            "tn": (self.tn, "TN"),
+            "n_intersection": (self.n_intersection, "Intersection"),
+            "n_union": (self.n_union, "Union"),
+            "sensitivity": (self.sensitivity, "Sens"),
+            "specificity": (self.specificity, "Spec"),
+            "accuracy": (self.accuracy, "Acc"),
+            "fpr": (self.false_positive_rate, "FPR"),
+            "ppv": (self.positive_predictive_values, "PPV"),
+            "npv": (self.negative_predictive_values, "NPV"),
+            "dice": (self.dice_score, "Dice"),
+            "IoU": (self.intersection_over_union, "IoU"),
+            "jaccard": (self.jaccard, "Jaccard"),
+            "informedness": (self.informedness, "Informedness"),
+            "markedness": (self.markedness, "Markedness"),
+            "vol_diff": (self.vol_diff, "VolDiff"),
+            "ave_dist": (self.measured_average_distance, "AveDist"),
+            "haus_dist": (self.measured_hausdorff_distance, "HausDist"),
+            "connected_elements": (self.connected_elements, "TPc,FPc,FNc"),
+            "outline_error": (self.outline_error, "OER,OEFP,OEFN"),
+            "detection_error": (self.detection_error, "DE,DEFP,DEFN"),
+            "com_dist": (self.com_dist, "COM distance"),
+            "com_ref": (self.com_ref, "COM reference"),
+            "com_seg": (self.com_seg, "COM segmentation"),
+        }
+        self.measures = (list(measures) if measures is not None
+                         else list(self.m_dict))
 
-    # --- border / distance ------------------------------------------------
+    # --- voxel counts (hausdorff_util:210-247) -----------------------------
+    def n_pos_ref(self):
+        return int(np.count_nonzero(self.ref))
+
+    def n_neg_ref(self):
+        return int(self.ref.size - np.count_nonzero(self.ref))
+
+    def n_pos_seg(self):
+        return int(np.count_nonzero(self.seg))
+
+    def n_neg_seg(self):
+        return int(self.seg.size - np.count_nonzero(self.seg))
+
+    def tp(self):
+        return int(np.count_nonzero(self.seg & self.ref))
+
+    def tn(self):
+        return int(np.count_nonzero(~self.seg & ~self.ref))
+
+    def fp(self):
+        return int(np.count_nonzero(self.seg & ~self.ref))
+
+    def fn(self):
+        return int(np.count_nonzero(~self.seg & self.ref))
+
+    def n_intersection(self):
+        return self.tp()
+
+    def n_union(self):
+        return int(np.count_nonzero(self.seg | self.ref))
+
+    # --- rates (:250-320) ---------------------------------------------------
+    def sensitivity(self):
+        return metrics.sensitivity(self.seg, self.ref)
+
+    def specificity(self):
+        return metrics.specificity(self.seg, self.ref)
+
+    def accuracy(self):
+        return (self.tp() + self.tn()) / self.seg.size
+
+    def false_positive_rate(self):
+        n = self.n_neg_ref()
+        return self.fp() / n if n else np.nan
+
+    def positive_predictive_values(self):
+        n = self.n_pos_seg()
+        return self.tp() / n if n else np.nan
+
+    def negative_predictive_values(self):
+        n = self.n_neg_seg()
+        return self.tn() / n if n else np.nan
+
+    def precision(self):
+        return metrics.precision(self.seg, self.ref)
+
+    def dice_score(self):
+        return metrics.dice(self.seg, self.ref)
+
+    def jaccard(self):
+        return metrics.jaccard(self.seg, self.ref)
+
+    def intersection_over_union(self):
+        u = self.n_union()
+        return self.n_intersection() / u if u else np.nan
+
+    def informedness(self):
+        return self.sensitivity() + self.specificity() - 1.0
+
+    def markedness(self):
+        return (self.positive_predictive_values()
+                + self.negative_predictive_values() - 1.0)
+
+    # --- volume / center of mass (:321-370) ----------------------------------
+    def vol_diff(self):
+        vr = self.n_pos_ref()
+        return abs(self.n_pos_seg() - vr) / vr if vr else np.nan
+
+    def relative_volume_difference(self):
+        return metrics.ravd(self.seg, self.ref)
+
+    def com_ref(self):
+        return tuple(ndimage.center_of_mass(self.ref))
+
+    def com_seg(self):
+        if not self.seg.any():
+            return tuple(np.full(self.seg.ndim, np.nan))
+        return tuple(ndimage.center_of_mass(self.seg))
+
+    def com_dist(self):
+        """Euclidean COM distance, pixdim-scaled (:321-336)."""
+        if not (self.seg.any() and self.ref.any()):
+            return -1.0
+        cr, cs = np.asarray(self.com_ref()), np.asarray(self.com_seg())
+        scale = (np.asarray(self.pixdim[:self.seg.ndim])
+                 if self.pixdim is not None else 1.0)
+        return float(np.sqrt(np.sum((scale * (cr - cs)) ** 2)))
+
+    def list_labels(self):
+        return tuple(np.unique(self.seg.astype(np.int32)))
+
+    # --- border / distance (:381-442) ----------------------------------------
     def border_map(self, binary: np.ndarray) -> np.ndarray:
         conn = ndimage.generate_binary_structure(binary.ndim, 1)
         return binary ^ ndimage.binary_erosion(binary, conn)
 
-    def measured_hausdorff_distance(self) -> float:
+    def measured_hausdorff_distance(self):
         return metrics.hausdorff_distance(self.seg, self.ref, self.pixdim)
 
-    def measured_hausdorff_distance_95(self) -> float:
+    def measured_hausdorff_distance_95(self):
         return metrics.hd95(self.seg, self.ref, self.pixdim)
 
-    def measured_average_distance(self) -> float:
+    def measured_average_distance(self):
         return metrics.assd(self.seg, self.ref, self.pixdim)
 
-    # --- overlap ----------------------------------------------------------
-    def dice_score(self) -> float:
-        return metrics.dice(self.seg, self.ref)
+    # --- connected-component errors (:443-543, Wack et al.) ------------------
+    def _connectivity(self):
+        # neigh=8 -> full connectivity; otherwise orthogonal-only
+        order = self.seg.ndim if self.neigh >= 8 else 1
+        return ndimage.generate_binary_structure(self.seg.ndim, order)
 
-    def jaccard(self) -> float:
-        return metrics.jaccard(self.seg, self.ref)
+    def _connected(self):
+        conn = self._connectivity()
+        blobs_ref, _ = ndimage.label(self.ref, conn)
+        blobs_seg, _ = ndimage.label(self.seg, conn)
+        init = self.seg & self.ref
+        return blobs_ref, blobs_seg, init
 
-    def sensitivity(self) -> float:
-        return metrics.sensitivity(self.seg, self.ref)
+    def connected_errormaps(self):
+        """(TPc, FNc, FPc) component maps: a component counts as TP if it
+        touches the intersection; FN/FP components touch nothing."""
+        blobs_ref, blobs_seg, init = self._connected()
+        tp_ref = np.unique(blobs_ref[init])
+        tp_seg = np.unique(blobs_seg[init])
+        tp_ref = tp_ref[tp_ref > 0]
+        tp_seg = tp_seg[tp_seg > 0]
+        tpc = (np.isin(blobs_ref, tp_ref) & self.ref) | \
+              (np.isin(blobs_seg, tp_seg) & self.seg)
+        fnc = self.ref & ~np.isin(blobs_ref, tp_ref)
+        fpc = self.seg & ~np.isin(blobs_seg, tp_seg)
+        return (tpc.astype(np.int32), fnc.astype(np.int32),
+                fpc.astype(np.int32))
 
-    def specificity(self) -> float:
-        return metrics.specificity(self.seg, self.ref)
+    def connected_elements(self):
+        """(#TP, #FP, #FN) counted as whole components (:461-480)."""
+        blobs_ref, blobs_seg, init = self._connected()
+        tp_ref = np.unique(blobs_ref[init])
+        tp_seg = np.unique(blobs_seg[init])
+        tp_ref = tp_ref[tp_ref > 0]
+        tp_seg = tp_seg[tp_seg > 0]
+        n_ref = blobs_ref.max()
+        n_seg = blobs_seg.max()
+        return (len(tp_ref), int(n_seg - len(tp_seg)),
+                int(n_ref - len(tp_ref)))
 
-    def precision(self) -> float:
-        return metrics.precision(self.seg, self.ref)
+    def outline_error(self):
+        """(OER, OEFP, OEFN) outline error of Wack et al. (:513-530)."""
+        tpc, _, _ = self.connected_errormaps()
+        oef = self.ref.astype(np.int32) - tpc * self.seg.astype(np.int32)
+        oefn = int(np.count_nonzero(oef == 1))
+        oefp = int(np.count_nonzero(oef == -1))
+        denom = self.n_pos_seg() + self.n_pos_ref()
+        oer = 2.0 * (oefn + oefp) / denom if denom else np.nan
+        return oer, oefp, oefn
 
-    # --- volume -----------------------------------------------------------
-    def vol_diff(self) -> float:
-        vr = np.count_nonzero(self.ref)
-        return abs(np.count_nonzero(self.seg) - vr) / vr if vr else np.nan
+    def detection_error(self):
+        """(DE, DEFP, DEFN) detection error of Wack et al. (:532-543)."""
+        _, fnc, fpc = self.connected_errormaps()
+        defn = int(fnc.sum())
+        defp = int(fpc.sum())
+        return defn + defp, defp, defn
 
-    def relative_volume_difference(self) -> float:
-        return metrics.ravd(self.seg, self.ref)
+    # --- reporting protocol (:545-563) ----------------------------------------
+    def header_str(self) -> str:
+        return "," + ",".join(self.m_dict[m][1] for m in self.measures)
+
+    def to_string(self, fmt: str = "{:.4f}") -> str:
+        cells = []
+        for m in self.measures:
+            val = self.m_dict[m][0]()
+            if isinstance(val, (tuple, list, np.ndarray)):
+                cells.append(",".join(fmt.format(float(v)) for v in val))
+            else:
+                cells.append(fmt.format(float(val)))
+        return "," + ",".join(cells)
 
     def to_dict(self) -> dict:
         return {
@@ -71,3 +264,43 @@ class PairwiseMeasures:
             "assd": self.measured_average_distance(),
             "vol_diff": self.vol_diff(),
         }
+
+
+class RegressionMeasures:
+    """hausdorff_util.PairwiseMeasuresRegression:566-607 — intensity
+    regression metrics between a registered/reconstructed image and its
+    reference."""
+
+    def __init__(self, reg: np.ndarray, ref: np.ndarray,
+                 measures: Optional[Sequence[str]] = None):
+        self.reg = np.asarray(reg, np.float64)
+        self.ref = np.asarray(ref, np.float64)
+        self.m_dict = {
+            "mse": (self.mse, "MSE"),
+            "rmse": (self.rmse, "RMSE"),
+            "mae": (self.mae, "MAE"),
+            "r2": (self.r2, "R2"),
+        }
+        self.measures = (list(measures) if measures is not None
+                         else list(self.m_dict))
+
+    def mse(self):
+        return float(np.mean((self.reg - self.ref) ** 2))
+
+    def rmse(self):
+        return float(np.sqrt(self.mse()))
+
+    def mae(self):
+        return float(np.mean(np.abs(self.reg - self.ref)))
+
+    def r2(self):
+        ss_res = np.sum((self.ref - self.reg) ** 2)
+        ss_tot = np.sum((self.ref - np.mean(self.ref)) ** 2)
+        return float(1.0 - ss_res / ss_tot) if ss_tot else np.nan
+
+    def header_str(self) -> str:
+        return "," + ",".join(self.m_dict[m][1] for m in self.measures)
+
+    def to_string(self, fmt: str = "{:.4f}") -> str:
+        return "," + ",".join(fmt.format(self.m_dict[m][0]())
+                              for m in self.measures)

@@ -217,3 +217,32 @@ class TestPrng:
             perm = prng.non_identity_permutation(jax.random.key(seed), 4)
             assert not np.array_equal(np.asarray(perm), np.arange(4))
             assert sorted(np.asarray(perm).tolist()) == [0, 1, 2, 3]
+
+
+class TestSoftDice3D:
+    """SoftDiceLoss3D (custom_loss.py:589-623): identical arithmetic over
+    NDHW volumes; our rank-general implementation covers it with
+    channel-last [B,D,H,W,C] logits and [B,D,H,W] integer labels."""
+
+    def test_3d_volume_matches_manual(self):
+        rng = np.random.RandomState(0)
+        logits = rng.randn(2, 4, 8, 8, 3).astype(np.float32)
+        labels = rng.randint(0, 3, size=(2, 4, 8, 8))
+        got = losses.soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels), 3)
+        p = _np_softmax(logits).reshape(2, -1, 3)
+        t = np.eye(3)[labels].reshape(2, -1, 3)
+        inter = (p * t).sum(1) + 0.01
+        union = p.sum(1) + t.sum(1) + 0.01
+        want = 1 - (2 * inter / union).sum() / (2 * 3)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_3d_selective_classes(self):
+        rng = np.random.RandomState(1)
+        logits = rng.randn(1, 4, 6, 6, 4).astype(np.float32)
+        labels = rng.randint(0, 4, size=(1, 4, 6, 6))
+        full = float(losses.soft_dice_loss(jnp.asarray(logits),
+                                           jnp.asarray(labels), 4))
+        fg = float(losses.soft_dice_loss(jnp.asarray(logits),
+                                         jnp.asarray(labels), 4,
+                                         class_ids=[1, 2, 3]))
+        assert np.isfinite(full) and np.isfinite(fg) and fg != full

@@ -68,3 +68,81 @@ class TestFeatureExtraction:
         feats = extract_features(enc, v, x, train=False,
                                  filter_names=["down1", "down2"])
         assert len(feats) >= 2
+
+
+class TestPairwiseMeasuresFull:
+    """The full hausdorff_util.PairwiseMeasures surface (:92-563)."""
+
+    def _pair(self):
+        seg = np.zeros((16, 16), bool)
+        ref = np.zeros((16, 16), bool)
+        seg[2:6, 2:6] = True      # overlaps ref component A
+        ref[3:7, 3:7] = True
+        ref[10:13, 10:13] = True  # missed component (FN)
+        seg[12:14, 2:4] = True    # spurious component (FP)
+        return seg, ref
+
+    def test_counts_and_rates(self):
+        from maxstyle_tpu.utils.pairwise_measures import PairwiseMeasures
+        seg, ref = self._pair()
+        pm = PairwiseMeasures(seg, ref)
+        assert pm.tp() == np.count_nonzero(seg & ref)
+        assert pm.fp() + pm.tp() == pm.n_pos_seg()
+        assert pm.fn() + pm.tp() == pm.n_pos_ref()
+        assert pm.n_union() == pm.tp() + pm.fp() + pm.fn()
+        np.testing.assert_allclose(
+            pm.accuracy(), (pm.tp() + pm.tn()) / seg.size)
+        np.testing.assert_allclose(
+            pm.intersection_over_union(), pm.n_intersection() / pm.n_union())
+        np.testing.assert_allclose(
+            pm.informedness(), pm.sensitivity() + pm.specificity() - 1)
+        np.testing.assert_allclose(
+            pm.markedness(), pm.positive_predictive_values()
+            + pm.negative_predictive_values() - 1)
+
+    def test_connected_component_errors(self):
+        from maxstyle_tpu.utils.pairwise_measures import PairwiseMeasures
+        seg, ref = self._pair()
+        pm = PairwiseMeasures(seg, ref)
+        tpc, fpc, fnc = pm.connected_elements()
+        assert (tpc, fpc, fnc) == (1, 1, 1)
+        de, defp, defn = pm.detection_error()
+        assert defp == 4 and defn == 9 and de == 13  # whole wrong components
+        oer, oefp, oefn = pm.outline_error()
+        # reference formula (hausdorff_util:513-530): OEFMap = ref - TPc*seg,
+        # so OEFN = ref voxels not covered by TP-component seg (INCLUDING the
+        # whole missed component), OEFP = TP-component seg voxels outside ref
+        tpc, _, _ = pm.connected_errormaps()
+        assert oefn == np.count_nonzero(ref & ~((tpc > 0) & seg))
+        assert oefp == np.count_nonzero((tpc > 0) & seg & ~ref)
+        assert oer > 0
+
+    def test_com_distance_with_pixdim(self):
+        from maxstyle_tpu.utils.pairwise_measures import PairwiseMeasures
+        seg = np.zeros((8, 8), bool); seg[2, 2] = True
+        ref = np.zeros((8, 8), bool); ref[2, 6] = True
+        pm = PairwiseMeasures(seg, ref, pixdim=(1.0, 0.5))
+        np.testing.assert_allclose(pm.com_dist(), 2.0)  # 4 cols * 0.5
+
+    def test_header_and_to_string_protocol(self):
+        from maxstyle_tpu.utils.pairwise_measures import PairwiseMeasures
+        seg, ref = self._pair()
+        pm = PairwiseMeasures(seg, ref, measures=["dice", "jaccard",
+                                                  "connected_elements"])
+        hdr = pm.header_str()
+        row = pm.to_string()
+        assert hdr == ",Dice,Jaccard,TPc,FPc,FNc"
+        # tuple measures expand into as many cells as the header promises
+        assert len(row.split(",")) == len(hdr.split(","))
+
+    def test_regression_measures(self):
+        from maxstyle_tpu.utils.pairwise_measures import RegressionMeasures
+        rng = np.random.RandomState(0)
+        ref = rng.rand(32, 32)
+        reg = ref + 0.1
+        rm = RegressionMeasures(reg, ref)
+        np.testing.assert_allclose(rm.mse(), 0.01, rtol=1e-6)
+        np.testing.assert_allclose(rm.rmse(), 0.1, rtol=1e-6)
+        np.testing.assert_allclose(rm.mae(), 0.1, rtol=1e-6)
+        assert rm.r2() < 1.0
+        assert rm.header_str() == ",MSE,RMSE,MAE,R2"
