@@ -62,7 +62,8 @@ class TestSegmentationNetwork:
                  save_predict: bool = False,
                  foreground_only: bool = False,
                  test_set_ratio: float = 1.0,
-                 crop_hw: Tuple[int, int] = (192, 192)):
+                 crop_hw: Tuple[int, int] = (192, 192),
+                 mesh=None):
         self.solver = solver
         self.state = state
         self.dataset = dataset
@@ -77,7 +78,20 @@ class TestSegmentationNetwork:
         self.save_predict = save_predict
         self.foreground_only = foreground_only
         self.test_set_ratio = test_set_ratio
-        self._predict = jax.jit(partial(self._predict_impl, n_iter=n_iter))
+        if mesh is not None:
+            # SPMD inference: slice-chunks sharded over the mesh's 'data'
+            # axis, params/stats replicated — volumetric eval/serving scales
+            # across chips with zero per-chunk host logic (a capability the
+            # single-GPU reference lacks; SURVEY §2.8).
+            from maxstyle_tpu.parallel import mesh as pm
+            n_data = mesh.shape[pm.DATA_AXIS]
+            self.chunk = -(-self.chunk // n_data) * n_data  # lcm round-up
+            rep, bsh = pm.replicated(mesh), pm.batch_sharding(mesh)
+            self._predict = jax.jit(partial(self._predict_impl, n_iter=n_iter),
+                                    in_shardings=(rep, rep, bsh),
+                                    out_shardings=bsh)
+        else:
+            self._predict = jax.jit(partial(self._predict_impl, n_iter=n_iter))
         self.per_patient: List[Tuple[str, np.ndarray, np.ndarray]] = []
 
     def _predict_impl(self, params, stats, x, n_iter):
@@ -180,7 +194,7 @@ def evaluate(solver, state, test_dataset_name: str, test_root_dir: str, *,
              foreground_only: Optional[bool] = None,
              test_set_ratio: float = 1.0, n_iter: int = 1,
              metrics_list: Sequence[str] = ("Dice", "HD95", "ASD"),
-             save_top_k: int = 0):
+             save_top_k: int = 0, mesh=None):
     """One test suite -> (means, stds, detailed dataframe); the cardiac /
     prostate evaluate() wrappers in one function (class set chosen by the
     solver's num_classes)."""
@@ -194,7 +208,8 @@ def evaluate(solver, state, test_dataset_name: str, test_root_dir: str, *,
         solver, state, dataset, maximum_batch_size=maximum_batch_size,
         metrics_list=metrics_list, class_names=class_names,
         save_report_dir=save_report_dir, foreground_only=foreground_only,
-        test_set_ratio=test_set_ratio, crop_hw=crop_hw, n_iter=n_iter)
+        test_set_ratio=test_set_ratio, crop_hw=crop_hw, n_iter=n_iter,
+        mesh=mesh)
     means, stds = harness.run()
     if save_top_k > 0 and save_report_dir:
         harness.save_top_k_result(k=save_top_k)

@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--crop", type=int, nargs=2, default=None)
     parser.add_argument("--uncertainty", action="store_true")
     parser.add_argument("--keep_largest_cc", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard slice chunks over all devices (SPMD "
+                             "batch parallelism; params replicated)")
     opt = parser.parse_args(argv)
 
     if opt.json_config_path:
@@ -75,10 +78,24 @@ def main(argv=None):
                       pad_hw=crop_hw, crop_hw=crop_hw,
                       ignore_black_slice=False)
 
-    @jax.jit
-    def predict_logits(params, stats, x):
+    def _predict_impl(params, stats, x):
         return solver.predict(params, stats, x, softmax=True,
                               normalize_input=False)
+
+    if opt.data_parallel and len(jax.devices()) > 1:
+        from maxstyle_tpu.parallel import mesh as pm
+        mesh = pm.make_mesh()
+        n_data = mesh.shape[pm.DATA_AXIS]
+        opt.chunk = -(-opt.chunk // n_data) * n_data
+        predict_logits = jax.jit(
+            _predict_impl,
+            in_shardings=(pm.replicated(mesh), pm.replicated(mesh),
+                          pm.batch_sharding(mesh)),
+            out_shardings=pm.batch_sharding(mesh))
+        print(f"data-parallel inference over {n_data} devices, "
+              f"chunk {opt.chunk}")
+    else:
+        predict_logits = jax.jit(_predict_impl)
 
     os.makedirs(opt.out_dir, exist_ok=True)
     t0 = time.time()
