@@ -27,6 +27,8 @@ pytestmark = pytest.mark.slow  # one full-step compile per branch
 
 GOLDEN = {
     "standard": {"loss/standard/seg": 4.962938, "loss/total": 4.995339},
+    "max_style": {"loss/standard/seg": 4.962593, "loss/total": 9.971640,
+                  "loss/hard/seg": 4.944171, "loss/hard/total": 4.976635},
     "latent_DA": {"loss/standard/seg": 4.962938, "loss/total": 9.917671},
     "RSC": {"loss/standard/seg": 4.962938, "loss/total": 14.832249,
             "loss/hard/RSC": 9.836909},
