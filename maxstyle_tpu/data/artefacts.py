@@ -138,3 +138,45 @@ def generate_artefacted_suite(src_dataset, out_root: str, artefact: str,
                               spacing=spacing)
             medio.write_nifti(os.path.join(out_dir, "seg.nii.gz"),
                               lab.astype(np.uint8), spacing=spacing)
+
+
+def main(argv=None):
+    """CLI mirror of generate_artefacted_data.py: corrupt a test set's
+    patients with one artefact family (or all four) and write an
+    artefacted copy under --out_root/<artefact>/.
+
+    Usage: python -m maxstyle_tpu.data.artefacts --root_dir <test_set> \
+             --image_format "{pid}/img.nii.gz" --label_format "{pid}/seg.nii.gz" \
+             --out_root <dir> [--artefact all|motion|spike|ghosting|bias]
+    """
+    import argparse
+    import os
+
+    from maxstyle_tpu.data.datasets import build_general_dataset
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root_dir", type=str, required=True)
+    ap.add_argument("--image_format", type=str, default="{pid}/img.nii.gz")
+    ap.add_argument("--label_format", type=str, default="{pid}/seg.nii.gz")
+    ap.add_argument("--out_root", type=str, required=True)
+    ap.add_argument("--artefact", type=str, default="all",
+                    choices=["all", *ARTEFACTS])
+    ap.add_argument("--crop", type=int, nargs=2, default=(192, 192))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=2021)
+    opt = ap.parse_args(argv)
+
+    ds = build_general_dataset(opt.root_dir, opt.image_format,
+                               opt.label_format, pad_hw=tuple(opt.crop),
+                               crop_hw=tuple(opt.crop))
+    kinds = list(ARTEFACTS) if opt.artefact == "all" else [opt.artefact]
+    for kind in kinds:
+        out = os.path.join(opt.out_root, kind)
+        generate_artefacted_suite(ds, out, kind, seed=opt.seed,
+                                  repeats=opt.repeats)
+        print(f"{kind}: wrote {len(ds.patient_ids) * opt.repeats} volumes "
+              f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -197,3 +197,22 @@ class TestMetrics:
         seg[13:15, 13:15] = 1    # small component
         out = keep_largest_connected_components(seg)
         assert out[3, 3] == 1 and out[13, 13] == 0
+
+
+def test_artefacts_cli(tmp_path):
+    """python -m maxstyle_tpu.data.artefacts writes corrupted copies for
+    each artefact family (generate_artefacted_data.py CLI parity)."""
+    import os
+
+    from maxstyle_tpu.data import artefacts
+    root = make_synthetic_site(str(tmp_path / "site"), n_patients=1,
+                               shape=(3, 32, 32))
+    out = str(tmp_path / "artefacted")
+    artefacts.main(["--root_dir", root, "--out_root", out,
+                    "--artefact", "RandomMotion", "--crop", "32", "32",
+                    "--repeats", "2"])
+    pids = os.listdir(os.path.join(out, "RandomMotion"))
+    assert len(pids) == 2
+    for pid in pids:
+        assert os.path.exists(os.path.join(out, "RandomMotion", pid, "img.nii.gz"))
+        assert os.path.exists(os.path.join(out, "RandomMotion", pid, "seg.nii.gz"))
