@@ -147,7 +147,9 @@ def main(argv=None):
 
     Usage: python -m maxstyle_tpu.data.artefacts --root_dir <test_set> \
              --image_format "{pid}/img.nii.gz" --label_format "{pid}/seg.nii.gz" \
-             --out_root <dir> [--artefact all|motion|spike|ghosting|bias]
+             --out_root <dir> \
+             [--artefact all|RandomMotion|RandomSpike|RandomGhosting|RandomBias]
+    (lowercase aliases motion/spike/ghosting/bias are accepted too)
     """
     import argparse
     import os
@@ -159,8 +161,9 @@ def main(argv=None):
     ap.add_argument("--image_format", type=str, default="{pid}/img.nii.gz")
     ap.add_argument("--label_format", type=str, default="{pid}/seg.nii.gz")
     ap.add_argument("--out_root", type=str, required=True)
+    aliases = {k.replace("Random", "").lower(): k for k in ARTEFACTS}
     ap.add_argument("--artefact", type=str, default="all",
-                    choices=["all", *ARTEFACTS])
+                    choices=["all", *ARTEFACTS, *aliases])
     ap.add_argument("--crop", type=int, nargs=2, default=(192, 192))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--seed", type=int, default=2021)
@@ -169,7 +172,8 @@ def main(argv=None):
     ds = build_general_dataset(opt.root_dir, opt.image_format,
                                opt.label_format, pad_hw=tuple(opt.crop),
                                crop_hw=tuple(opt.crop))
-    kinds = list(ARTEFACTS) if opt.artefact == "all" else [opt.artefact]
+    kinds = (list(ARTEFACTS) if opt.artefact == "all"
+             else [aliases.get(opt.artefact, opt.artefact)])
     for kind in kinds:
         out = os.path.join(opt.out_root, kind)
         generate_artefacted_suite(ds, out, kind, seed=opt.seed,

@@ -150,18 +150,27 @@ class PairwiseMeasures:
         return metrics.ravd(self.seg, self.ref)
 
     def com_ref(self):
-        return tuple(ndimage.center_of_mass(self.ref))
+        """pixdim-scaled (physical units), as the reference (:337-344 —
+        note the reference scales com_ref but NOT com_seg; both behaviors
+        are preserved here for CSV comparability)."""
+        com = np.asarray(ndimage.center_of_mass(self.ref), np.float64)
+        if self.pixdim is not None:
+            com = com * np.asarray(self.pixdim[:self.seg.ndim])
+        return tuple(com)
 
     def com_seg(self):
+        """Voxel units (the reference does not scale this one, :346-354)."""
         if not self.seg.any():
             return tuple(np.full(self.seg.ndim, np.nan))
         return tuple(ndimage.center_of_mass(self.seg))
 
     def com_dist(self):
-        """Euclidean COM distance, pixdim-scaled (:321-336)."""
+        """Euclidean COM distance, pixdim-scaled (:321-336); computed from
+        the raw (unscaled) centers like the reference."""
         if not (self.seg.any() and self.ref.any()):
             return -1.0
-        cr, cs = np.asarray(self.com_ref()), np.asarray(self.com_seg())
+        cr = np.asarray(ndimage.center_of_mass(self.ref), np.float64)
+        cs = np.asarray(ndimage.center_of_mass(self.seg), np.float64)
         scale = (np.asarray(self.pixdim[:self.seg.ndim])
                  if self.pixdim is not None else 1.0)
         return float(np.sqrt(np.sum((scale * (cr - cs)) ** 2)))
@@ -184,44 +193,48 @@ class PairwiseMeasures:
         return metrics.assd(self.seg, self.ref, self.pixdim)
 
     # --- connected-component errors (:443-543, Wack et al.) ------------------
+    # NOTE one deliberate deviation: the reference enumerates components
+    # with range(1, n_blobs) (:469-470), silently dropping the
+    # highest-numbered component from the FP/FN counts — an off-by-one.
+    # Here ALL components are counted.
     def _connectivity(self):
         # neigh=8 -> full connectivity; otherwise orthogonal-only
         order = self.seg.ndim if self.neigh >= 8 else 1
         return ndimage.generate_binary_structure(self.seg.ndim, order)
 
     def _connected(self):
-        conn = self._connectivity()
-        blobs_ref, _ = ndimage.label(self.ref, conn)
-        blobs_seg, _ = ndimage.label(self.seg, conn)
-        init = self.seg & self.ref
-        return blobs_ref, blobs_seg, init
+        """Cached (labeled_ref, labeled_seg, intersection, tp_ref_labels,
+        tp_seg_labels) — the reference memoizes via CacheFunctionOutput;
+        every CC measure reuses one labeling pass."""
+        if not hasattr(self, "_cc"):
+            conn = self._connectivity()
+            blobs_ref, _ = ndimage.label(self.ref, conn)
+            blobs_seg, _ = ndimage.label(self.seg, conn)
+            init = self.seg & self.ref
+            tp_ref = np.unique(blobs_ref[init])
+            tp_seg = np.unique(blobs_seg[init])
+            self._cc = (blobs_ref, blobs_seg, init,
+                        tp_ref[tp_ref > 0], tp_seg[tp_seg > 0])
+        return self._cc
 
     def connected_errormaps(self):
         """(TPc, FNc, FPc) component maps: a component counts as TP if it
-        touches the intersection; FN/FP components touch nothing."""
-        blobs_ref, blobs_seg, init = self._connected()
-        tp_ref = np.unique(blobs_ref[init])
-        tp_seg = np.unique(blobs_seg[init])
-        tp_ref = tp_ref[tp_ref > 0]
-        tp_seg = tp_seg[tp_seg > 0]
-        tpc = (np.isin(blobs_ref, tp_ref) & self.ref) | \
-              (np.isin(blobs_seg, tp_seg) & self.seg)
-        fnc = self.ref & ~np.isin(blobs_ref, tp_ref)
-        fpc = self.seg & ~np.isin(blobs_seg, tp_seg)
-        return (tpc.astype(np.int32), fnc.astype(np.int32),
-                fpc.astype(np.int32))
+        touches the intersection; FN/FP components touch nothing. Cached."""
+        if not hasattr(self, "_cc_maps"):
+            blobs_ref, blobs_seg, init, tp_ref, tp_seg = self._connected()
+            tpc = (np.isin(blobs_ref, tp_ref) & self.ref) | \
+                  (np.isin(blobs_seg, tp_seg) & self.seg)
+            fnc = self.ref & ~np.isin(blobs_ref, tp_ref)
+            fpc = self.seg & ~np.isin(blobs_seg, tp_seg)
+            self._cc_maps = (tpc.astype(np.int32), fnc.astype(np.int32),
+                             fpc.astype(np.int32))
+        return self._cc_maps
 
     def connected_elements(self):
         """(#TP, #FP, #FN) counted as whole components (:461-480)."""
-        blobs_ref, blobs_seg, init = self._connected()
-        tp_ref = np.unique(blobs_ref[init])
-        tp_seg = np.unique(blobs_seg[init])
-        tp_ref = tp_ref[tp_ref > 0]
-        tp_seg = tp_seg[tp_seg > 0]
-        n_ref = blobs_ref.max()
-        n_seg = blobs_seg.max()
-        return (len(tp_ref), int(n_seg - len(tp_seg)),
-                int(n_ref - len(tp_ref)))
+        blobs_ref, blobs_seg, _, tp_ref, tp_seg = self._connected()
+        return (len(tp_ref), int(blobs_seg.max() - len(tp_seg)),
+                int(blobs_ref.max() - len(tp_ref)))
 
     def outline_error(self):
         """(OER, OEFP, OEFN) outline error of Wack et al. (:513-530)."""
@@ -244,12 +257,18 @@ class PairwiseMeasures:
     def header_str(self) -> str:
         return "," + ",".join(self.m_dict[m][1] for m in self.measures)
 
+    # tuple measures whose HEADER is a single cell: joined with spaces so
+    # row cells always align with header_str (the reference comma-joins
+    # these too, misaligning its own CSVs — deliberate fix)
+    _SINGLE_CELL = frozenset({"com_ref", "com_seg", "list_labels"})
+
     def to_string(self, fmt: str = "{:.4f}") -> str:
         cells = []
         for m in self.measures:
             val = self.m_dict[m][0]()
             if isinstance(val, (tuple, list, np.ndarray)):
-                cells.append(",".join(fmt.format(float(v)) for v in val))
+                sep = " " if m in self._SINGLE_CELL else ","
+                cells.append(sep.join(fmt.format(float(v)) for v in val))
             else:
                 cells.append(fmt.format(float(val)))
         return "," + ",".join(cells)
@@ -294,9 +313,13 @@ class RegressionMeasures:
         return float(np.mean(np.abs(self.reg - self.ref)))
 
     def r2(self):
-        ss_res = np.sum((self.ref - self.reg) ** 2)
-        ss_tot = np.sum((self.ref - np.mean(self.ref)) ** 2)
-        return float(1.0 - ss_res / ss_tot) if ss_tot else np.nan
+        """Squared Pearson correlation — the reference's formula
+        (hausdorff_util.py:584-591), NOT the coefficient of determination:
+        a constant intensity bias still yields r2 ~= 1."""
+        ref_c = self.ref - np.mean(self.ref)
+        reg_c = self.reg - np.mean(self.reg)
+        denom = np.sqrt(np.sum(ref_c ** 2) * np.sum(reg_c ** 2) + 1e-5)
+        return float(np.square(np.sum(ref_c * reg_c) / denom))
 
     def header_str(self) -> str:
         return "," + ",".join(self.m_dict[m][1] for m in self.measures)

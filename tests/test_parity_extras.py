@@ -146,3 +146,27 @@ class TestPairwiseMeasuresFull:
         np.testing.assert_allclose(rm.mae(), 0.1, rtol=1e-6)
         assert rm.r2() < 1.0
         assert rm.header_str() == ",MSE,RMSE,MAE,R2"
+
+    def test_r2_is_squared_pearson(self):
+        """Reference r2 (hausdorff_util:584-591) is squared Pearson
+        correlation: a constant bias still scores ~1."""
+        from maxstyle_tpu.utils.pairwise_measures import RegressionMeasures
+        ref = np.random.RandomState(2).rand(64, 64)
+        rm = RegressionMeasures(ref + 0.35, ref)
+        assert rm.r2() > 0.999
+
+    def test_com_ref_pixdim_scaled_com_seg_not(self):
+        from maxstyle_tpu.utils.pairwise_measures import PairwiseMeasures
+        seg = np.zeros((8, 8), bool); seg[4, 4] = True
+        ref = np.zeros((8, 8), bool); ref[2, 6] = True
+        pm = PairwiseMeasures(seg, ref, pixdim=(2.0, 0.5))
+        np.testing.assert_allclose(pm.com_ref(), (4.0, 3.0))  # scaled
+        np.testing.assert_allclose(pm.com_seg(), (4.0, 4.0))  # voxel units
+
+    def test_full_default_row_aligns_with_header(self):
+        """Every default measure — including the tuple-valued COM cells —
+        must keep row arity == header arity."""
+        from maxstyle_tpu.utils.pairwise_measures import PairwiseMeasures
+        seg, ref = self._pair()
+        pm = PairwiseMeasures(seg, ref, pixdim=(1.0, 1.0))
+        assert len(pm.to_string().split(",")) == len(pm.header_str().split(","))
