@@ -35,7 +35,7 @@ def main():
     from maxstyle_tpu.train_step import make_multi_step
 
     half_batch, pad, crop = 10, 224, 192
-    k_inner = 8
+    k_inner = 16
     solver = _flagship_solver(hw=crop, batch=2 * half_batch, max_style=True)
     policy = A.get_policy("ACDC_affine_elastic_intensity", (pad, pad),
                           (crop, crop))
