@@ -59,5 +59,4 @@ def vit_tp_shardings(params: Any, mesh: Mesh):
 
 def shard_vit_params(params: Any, mesh: Mesh):
     """Place a param tree on the mesh under the TP layout."""
-    shardings = vit_tp_shardings(params, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.device_put(params, vit_tp_shardings(params, mesh))

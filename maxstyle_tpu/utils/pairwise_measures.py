@@ -64,6 +64,7 @@ class PairwiseMeasures:
             "com_dist": (self.com_dist, "COM distance"),
             "com_ref": (self.com_ref, "COM reference"),
             "com_seg": (self.com_seg, "COM segmentation"),
+            "list_labels": (self.list_labels, "List Labels Seg"),
         }
         self.measures = (list(measures) if measures is not None
                          else list(self.m_dict))
@@ -149,28 +150,34 @@ class PairwiseMeasures:
     def relative_volume_difference(self):
         return metrics.ravd(self.seg, self.ref)
 
+    def _raw_coms(self):
+        """Cached voxel-space centers of mass (one pass per mask)."""
+        if not hasattr(self, "_coms"):
+            cr = np.asarray(ndimage.center_of_mass(self.ref), np.float64)
+            cs = (np.asarray(ndimage.center_of_mass(self.seg), np.float64)
+                  if self.seg.any() else np.full(self.seg.ndim, np.nan))
+            self._coms = (cr, cs)
+        return self._coms
+
     def com_ref(self):
         """pixdim-scaled (physical units), as the reference (:337-344 —
         note the reference scales com_ref but NOT com_seg; both behaviors
         are preserved here for CSV comparability)."""
-        com = np.asarray(ndimage.center_of_mass(self.ref), np.float64)
+        com = self._raw_coms()[0]
         if self.pixdim is not None:
             com = com * np.asarray(self.pixdim[:self.seg.ndim])
         return tuple(com)
 
     def com_seg(self):
         """Voxel units (the reference does not scale this one, :346-354)."""
-        if not self.seg.any():
-            return tuple(np.full(self.seg.ndim, np.nan))
-        return tuple(ndimage.center_of_mass(self.seg))
+        return tuple(self._raw_coms()[1])
 
     def com_dist(self):
         """Euclidean COM distance, pixdim-scaled (:321-336); computed from
         the raw (unscaled) centers like the reference."""
         if not (self.seg.any() and self.ref.any()):
             return -1.0
-        cr = np.asarray(ndimage.center_of_mass(self.ref), np.float64)
-        cs = np.asarray(ndimage.center_of_mass(self.seg), np.float64)
+        cr, cs = self._raw_coms()
         scale = (np.asarray(self.pixdim[:self.seg.ndim])
                  if self.pixdim is not None else 1.0)
         return float(np.sqrt(np.sum((scale * (cr - cs)) ** 2)))
@@ -228,7 +235,8 @@ class PairwiseMeasures:
             fpc = self.seg & ~np.isin(blobs_seg, tp_seg)
             self._cc_maps = (tpc.astype(np.int32), fnc.astype(np.int32),
                              fpc.astype(np.int32))
-        return self._cc_maps
+        # copies: callers may mutate without poisoning the cache
+        return tuple(m.copy() for m in self._cc_maps)
 
     def connected_elements(self):
         """(#TP, #FP, #FN) counted as whole components (:461-480)."""

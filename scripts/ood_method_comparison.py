@@ -80,6 +80,7 @@ def train_and_eval(method: str, steps: int, hw: int, batch: int, seed: int,
                               batch_size=batch)
     step = make_train_step(solver)
     data_rng = np.random.RandomState(seed + 1)
+    metrics = {"loss/total": jnp.nan}  # --steps 0 = eval-only smoke run
     t0 = time.time()
     for i in range(steps):
         imgs, labs = phantom_batch(data_rng, batch, hw)
@@ -89,12 +90,13 @@ def train_and_eval(method: str, steps: int, hw: int, batch: int, seed: int,
                               jax.random.fold_in(jax.random.key(seed + 2), i))
     train_s = time.time() - t0
 
+    # the library's inference path (solver.predict == what `infer` ships);
+    # inputs are already [0,1]-normalized by corrupt()/phantom_batch
     @jax.jit
     def predict(params, stats, image):
-        (_, z_s), _ = solver.encode_image(params, stats, image, mode="eval")
-        pred, _ = solver.decode("segmentation_decoder", params, stats, z_s,
-                                mode="eval")
-        return jnp.argmax(pred, axis=-1)
+        logits = solver.predict(params, stats, image, softmax=False,
+                                normalize_input=False)
+        return jnp.argmax(logits, axis=-1)
 
     results = {}
     for kind in domains:
