@@ -90,6 +90,24 @@ class TestEndToEnd:
             maximum_batch_size=2, metrics_list=("Dice",))
         assert len(means_d) == 3
 
+    def test_evaluate_wrapper_sharded(self, site):
+        # the mesh= plumbing: same Dice means as single-device eval
+        import numpy as np
+        from maxstyle_tpu.parallel import mesh as pmesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = tiny_config()
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (32, 32), batch_size=2)
+        m_single, _, _ = evaluate(solver, state, "SUITE_A", str(site),
+                                  crop_hw=(32, 32), maximum_batch_size=2,
+                                  metrics_list=("Dice",))
+        m_shard, _, _ = evaluate(solver, state, "SUITE_A", str(site),
+                                 crop_hw=(32, 32), maximum_batch_size=2,
+                                 metrics_list=("Dice",),
+                                 mesh=pmesh.make_mesh(8))
+        np.testing.assert_allclose(m_shard, m_single, rtol=1e-6)
+
     def test_checkpoint_roundtrip_identical(self, tmp_path):
         cfg = tiny_config()
         solver = TripletSegmentationSolver(cfg)
