@@ -113,11 +113,33 @@ def conv1x1(features: int, use_bias: bool = True, name: str | None = None,
                    kernel_init=kaiming_normal_fan_in, name=name, dtype=dtype)
 
 
+def _align_corners_matrix(h: int) -> jnp.ndarray:
+    """[2H, H] bilinear interpolation matrix with align_corners=True
+    (torch nn.UpsamplingBilinear2d semantics: out j samples input at
+    j*(H-1)/(2H-1)) — NOT jax.image.resize's half-pixel convention."""
+    import numpy as np
+    ys = np.linspace(0.0, h - 1.0, 2 * h)
+    y0 = np.floor(ys).astype(np.int64)
+    wgt = ys - y0
+    y1 = np.minimum(y0 + 1, h - 1)
+    m = np.zeros((2 * h, h), np.float32)
+    m[np.arange(2 * h), y0] += 1.0 - wgt
+    m[np.arange(2 * h), y1] += wgt
+    return jnp.asarray(m)
+
+
 def upsample2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c),
-                            method="nearest" if method == "NN" or method == "nearest"
-                            else "linear")
+    if method in ("NN", "nearest"):
+        return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
+    # bilinear, align_corners=True (both reference up families use
+    # UpsamplingBilinear2d / Upsample(align_corners=True)); expressed as two
+    # small constant-matrix contractions, which XLA maps onto the MXU
+    my = _align_corners_matrix(h)
+    mx = _align_corners_matrix(w)
+    out = jnp.einsum("ph,nhwc->npwc", my, x.astype(jnp.float32))
+    out = jnp.einsum("qw,npwc->npqc", mx, out)
+    return out.astype(x.dtype)
 
 
 class Upsampler(nn.Module):
