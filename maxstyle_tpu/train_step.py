@@ -69,6 +69,11 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         clean_image = batch["image"]          # [N,H,W,C] aug+orig concat
+        if clean_image.ndim != 4:
+            raise ValueError(
+                f"batch['image'] must be [N,H,W,C], got {clean_image.shape} "
+                "— a missing channel axis otherwise surfaces as a confusing "
+                "parameter-shape error deep inside the encoder")
         label = batch["label"].astype(jnp.int32)  # [N,H,W]
         k = prng.split_dict(rng, ("noise", "maxstyle", "dropout", "branches"))
         image_n = add_input_noise(clean_image, k["noise"], intensity_norm_type)
