@@ -75,6 +75,9 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
                 "— a missing channel axis otherwise surfaces as a confusing "
                 "parameter-shape error deep inside the encoder")
         label = batch["label"].astype(jnp.int32)  # [N,H,W]
+        if label.ndim != 3:
+            raise ValueError(
+                f"batch['label'] must be [N,H,W], got {label.shape}")
         k = prng.split_dict(rng, ("noise", "maxstyle", "dropout", "branches"))
         image_n = add_input_noise(clean_image, k["noise"], intensity_norm_type)
         rngs = {"dropout": k["dropout"]}

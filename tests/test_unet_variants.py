@@ -67,15 +67,10 @@ class TestUnetVariants:
         assert out.shape == (2, 64, 64, 4)
 
 
-@pytest.mark.slow
 def test_unetr_family_trains_end_to_end():
     """The transformer family is solver-complete: a short training run on a
     synthetic task must reduce the loss substantially (validated on TPU at
     6.77 -> 1.80 over 60 steps; asserted looser here for the CPU gate)."""
-    import numpy as np
-
-    from maxstyle_tpu.train_step import make_train_step
-
     cfg = with_network(small_config(), "UnetTransformer_16")
     solver = TripletSegmentationSolver(cfg)
     state = solver.init_state(jax.random.key(0), (64, 64), batch_size=2)
@@ -96,7 +91,9 @@ def test_unetr_family_trains_end_to_end():
                 "label": jnp.asarray(labs)}
 
     losses = []
-    for i in range(12):
+    for i in range(24):
         state, m = step(state, batch(), jax.random.fold_in(jax.random.key(2), i))
         losses.append(float(m["loss/total"]))
-    assert losses[-1] < losses[0], losses
+    # substantial decrease (not just batch noise, which is ~±5%): the mean
+    # of the last three steps must sit well below the first-step loss
+    assert np.mean(losses[-3:]) < 0.75 * losses[0], losses
