@@ -119,3 +119,48 @@ class TestEndToEnd:
         for a, b in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAutoTest:
+    """The post-training benchmark sweep (train_adv…:893-959 ->
+    evaluate.auto_test): suite discovery, per-suite evaluation, summary CSV,
+    skip + all-missing behaviors."""
+
+    @pytest.mark.slow
+    def test_sweep_writes_summary_and_skips_missing(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from maxstyle_tpu.evaluate import auto_test
+        from tests.test_data import make_synthetic_site
+
+        # two prostate suites present, the rest absent -> evaluated + skipped
+        root = str(tmp_path / "testsets")
+        for i, suite in enumerate(("G-MedicalDecathlon", "E-BIDMC")):
+            make_synthetic_site(os.path.join(root, suite), n_patients=2,
+                                shape=(3, 32, 32), seed=100 + i)
+
+        cfg = tiny_config()
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (32, 32), batch_size=2)
+        save_dir = str(tmp_path / "out")
+        df = auto_test(solver, state, "Prostate", root, save_dir,
+                       method_name="smoke", crop_hw=(32, 32),
+                       maximum_batch_size=2, metrics_list=("Dice",))
+        assert len(df) == 2
+        assert set(df["dataset"]) == {"G-MedicalDecathlon", "E-BIDMC"}
+        assert (df["method"] == "smoke").all()
+        csv_path = os.path.join(save_dir, "report", "dataset_summary.csv")
+        assert os.path.exists(csv_path)
+        loaded = pd.read_csv(csv_path)
+        mean_cols = [c for c in loaded.columns if c.endswith("(mean)")]
+        assert mean_cols and np.isfinite(loaded[mean_cols].to_numpy()).all()
+
+    def test_all_missing_raises(self, tmp_path):
+        from maxstyle_tpu.evaluate import auto_test
+        cfg = tiny_config()
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (32, 32), batch_size=2)
+        with pytest.raises(FileNotFoundError):
+            auto_test(solver, state, "Prostate", str(tmp_path / "empty"),
+                      str(tmp_path / "out"), crop_hw=(32, 32))
