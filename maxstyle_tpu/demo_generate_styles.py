@@ -67,7 +67,9 @@ def main(argv=None):
     image = jnp.asarray(img)
     label = (image[..., 0] > 0.5).astype(jnp.int32)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=5)  # n_iter selects the compiled graph
     def gen(params, stats, image, label, rng, n_iter):
         (z_i, _), _ = solver.encode_image(params, stats, image, mode="frozen")
         import dataclasses

@@ -216,3 +216,38 @@ def test_artefacts_cli(tmp_path):
     for pid in pids:
         assert os.path.exists(os.path.join(out, "RandomMotion", pid, "img.nii.gz"))
         assert os.path.exists(os.path.join(out, "RandomMotion", pid, "seg.nii.gz"))
+
+
+def test_preprocess_cli(tmp_path):
+    """ACDC offline preprocessing CLI (acdc_preprocess.py parity): resample
+    to target spacing, percentile-normalize, optional LV/RV swap, write
+    per-frame NRRD pairs."""
+    import numpy as np
+
+    from maxstyle_tpu.data import medio, preprocess
+
+    src = tmp_path / "raw" / "patient001"
+    src.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(4, 24, 24) * 500).astype(np.float32)
+    lab = rng.randint(0, 4, (4, 24, 24)).astype(np.uint8)
+    for frame in ("ED", "ES"):
+        medio.write_nifti(str(src / f"{frame}_img.nii.gz"), img,
+                          spacing=(1.0, 1.0, 5.0))
+        medio.write_nifti(str(src / f"{frame}_seg.nii.gz"), lab,
+                          spacing=(1.0, 1.0, 5.0))
+
+    out = str(tmp_path / "prep")
+    preprocess.main(["--src", str(tmp_path / "raw"), "--out", out,
+                     "--swap_lv_rv"])
+    for frame in ("ED", "ES"):
+        pimg, spacing = medio.read_nrrd(
+            os.path.join(out, frame, "patient001_img.nrrd"))
+        plab, _ = medio.read_nrrd(
+            os.path.join(out, frame, "patient001_seg.nrrd"))
+        assert pimg.shape == plab.shape
+        # resampled in-plane to ~1.367mm: 24 * 1.0/1.367 ~ 17-18 px
+        assert pimg.shape[1] < 24
+        assert 0.0 <= pimg.min() and pimg.max() <= 1.0  # percentile norm
+        # LV/RV swap permutes labels {1,3}; the label set stays {0..3}
+        assert set(np.unique(plab)) <= {0, 1, 2, 3}
