@@ -2,12 +2,12 @@
 
 .PHONY: test test-fast test-slow bench dryrun
 
-# fast regression gate (~4 min single-core CPU): everything except
+# fast regression gate (~6 min warm, single-core CPU): everything except
 # @pytest.mark.slow (heavy full-size compiles / end-to-end cycles)
 test-fast:
 	python -m pytest tests -x -q -m "not slow"
 
-# the full suite (~16 min single-core CPU)
+# the full suite (~20 min warm, single-core CPU)
 test:
 	python -m pytest tests -x -q
 
