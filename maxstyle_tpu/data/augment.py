@@ -219,17 +219,29 @@ def _multiscale_bias_field(key: jax.Array, hw: Tuple[int, int],
     final gaussian smooth at max_sigma, normalized to unit mean and clipped
     to [1-magnitude, 1+magnitude].
 
-    TPU-idiomatic deviations (statistical parity, like the rest of this
-    module): bicubic `jax.image.resize` instead of 8-bit PIL 'L'-mode resize
-    (the reference quantizes the field to uint8 en route — a fidelity loss,
-    not a feature), and Fourier-space smoothing instead of scipy."""
+    Scale weighting follows the reference: scale k carries relative mass
+    1/cp_k (interp /= interp.sum()*cp, :345 — coarse scales dominate).
+
+    DOCUMENTED deviation on per-grid smoothing: the reference smooths each
+    cp-sized control grid at sigma=min(2*cp, max_sigma) (:340-343) — a
+    sigma at least twice the grid size, which flattens its own fields to
+    near-constants (V1's multiplicative component is effectively an
+    identity op in the reference; V2 superseded it for this reason). Here
+    each grid is smoothed at sigma=cp/4 instead, retaining the multi-scale
+    structure the transform is named for. Other deviations as elsewhere in
+    this module: bicubic `jax.image.resize` instead of 8-bit PIL 'L'-mode
+    resize (the reference quantizes the field to uint8 en route), and
+    Fourier-space smoothing instead of scipy."""
     h, w = hw
     keys = jax.random.split(key, len(control_points))
     total = jnp.zeros((h, w))
     for k, cp in zip(keys, control_points):
         grid = jax.random.uniform(k, (cp, cp))
-        total = total + jax.image.resize(grid, (h, w), method="bicubic")
-    total = _fft_gaussian_smooth(total / len(control_points), max_sigma)
+        grid = _fft_gaussian_smooth(grid, cp / 4.0)
+        field = jax.image.resize(grid, (h, w), method="bicubic")
+        # reference weighting: field normalized to total mass ∝ 1/cp
+        total = total + field / (jnp.sum(field) * cp / (h * w) + 1e-12)
+    total = _fft_gaussian_smooth(total, max_sigma)
     total = total / (jnp.mean(total) + 1e-12)  # ~identity field (:347-349)
     return jnp.clip(total, 1.0 - magnitude, 1.0 + magnitude)
 
@@ -445,6 +457,33 @@ def augment_batch_inner(key: jax.Array, images: jnp.ndarray,
     else:
         raise ValueError(warp_backend)
     return img[..., None], lab
+
+
+@partial(jax.jit, static_argnames=("policy", "mesh", "warp_backend"))
+def augment_batch_sharded(key: jax.Array, images: jnp.ndarray,
+                          labels: jnp.ndarray, policy: AugPolicy, mesh,
+                          warp_backend: str = "auto"):
+    """Data-parallel batched augmentation via shard_map: each device runs
+    `augment_batch_inner` on its LOCAL batch shard. The gather warp
+    partitions under plain GSPMD, but the pallas warp kernel does NOT
+    (a pallas_call has no partitioning rule — XLA would all-gather the
+    batch and run the whole augmentation replicated on every chip);
+    shard_map keeps the fast pallas path truly data-parallel. The
+    per-device key folds in the data-axis index so shards draw independent
+    augmentations."""
+    from jax.sharding import PartitionSpec as P
+
+    from maxstyle_tpu.parallel.mesh import DATA_AXIS
+
+    def local(k, imgs, labs):
+        k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+        return augment_batch_inner(k, imgs, labs, policy,
+                                   warp_backend=warp_backend)
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                         out_specs=(P(DATA_AXIS), P(DATA_AXIS)))(
+        key, images, labels)
 
 
 @partial(jax.jit, static_argnames=("policy", "warp_backend"))

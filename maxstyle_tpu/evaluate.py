@@ -63,7 +63,7 @@ class TestSegmentationNetwork:
                  foreground_only: bool = False,
                  test_set_ratio: float = 1.0,
                  crop_hw: Tuple[int, int] = (192, 192),
-                 mesh=None):
+                 mesh=None, keep_volumes: bool = False):
         self.solver = solver
         self.state = state
         self.dataset = dataset
@@ -92,7 +92,12 @@ class TestSegmentationNetwork:
                                     out_shardings=bsh)
         else:
             self._predict = jax.jit(partial(self._predict_impl, n_iter=n_iter))
-        self.per_patient: List[Tuple[str, np.ndarray, np.ndarray]] = []
+        # (pid, vol-or-None, pred, gt); the float32 volume is retained only
+        # when top-k panels were requested — otherwise a large suite would
+        # accumulate GBs of host RAM for nothing
+        self.keep_volumes = keep_volumes
+        self.per_patient: List[Tuple[str, Optional[np.ndarray],
+                                     np.ndarray, np.ndarray]] = []
 
     def _predict_impl(self, params, stats, x, n_iter):
         logits = self.solver.predict(params, stats, x, softmax=False,
@@ -129,7 +134,8 @@ class TestSegmentationNetwork:
             # spacing is (sx,sy,sz); metrics expect [S,H,W]-ordered sampling
             vx = (spacing[2], spacing[1], spacing[0])
             self.score.update(pid, pred, gt, voxel_spacing=vx)
-            self.per_patient.append((pid, vol, pred, gt))
+            self.per_patient.append(
+                (pid, vol if self.keep_volumes else None, pred, gt))
             if self.save_predict and self.save_report_dir:
                 from maxstyle_tpu.data import medio
                 os.makedirs(self.save_report_dir, exist_ok=True)
@@ -162,6 +168,9 @@ class TestSegmentationNetwork:
         from maxstyle_tpu.utils.visualize import save_segmentation_panels
         out_dir = out_dir or self.save_report_dir
         assert out_dir is not None, "need a report dir for panels"
+        assert self.keep_volumes, (
+            "save_top_k_result needs keep_volumes=True (evaluate() sets it "
+            "automatically when save_top_k > 0)")
         by_pid = {pid: (vol, pred, gt) for pid, vol, pred, gt in self.per_patient}
         paths = []
         for worst, tag in ((False, "top"), (True, "worst")):
@@ -209,7 +218,7 @@ def evaluate(solver, state, test_dataset_name: str, test_root_dir: str, *,
         metrics_list=metrics_list, class_names=class_names,
         save_report_dir=save_report_dir, foreground_only=foreground_only,
         test_set_ratio=test_set_ratio, crop_hw=crop_hw, n_iter=n_iter,
-        mesh=mesh)
+        mesh=mesh, keep_volumes=save_top_k > 0)
     means, stds = harness.run()
     if save_top_k > 0 and save_report_dir:
         harness.save_top_k_result(k=save_top_k)
@@ -253,7 +262,8 @@ def auto_test(solver, state, dataset_name: str, test_root_dir: str,
         rows.append(record)
     if not rows:
         raise FileNotFoundError(
-            f"no test suites found under {test_root_dir}: looked for {suites}")
+            f"no test suites found under {test_root_dir}: looked for "
+            f"{suites}, all missing/skipped: {skipped}")
     df = pd.DataFrame(rows)
     os.makedirs(os.path.join(save_dir, "report"), exist_ok=True)
     df.to_csv(os.path.join(save_dir, "report", "dataset_summary.csv"), index=False)

@@ -247,7 +247,8 @@ def obj_asd(result, reference, voxelspacing=None, connectivity: int = 1) -> floa
         object2 = lab2[window] == l2id
         sds.append(_surface_distances(object1, object2, voxelspacing))
     if not sds:
-        return np.inf
+        # reference: np.mean([]) -> nan (measure.py:919)
+        return float("nan")
     return float(np.mean(np.concatenate(sds)))
 
 

@@ -202,8 +202,10 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
             f"train batch {cfg.train_batch_size} must divide over "
             f"{n_dev} devices")
         state = pmesh.replicate(state, mesh)
+        # shard_map'd augmentation: the pallas warp is unpartitionable
+        # under GSPMD and would replicate on every chip otherwise
         raw_step = make_fused_train_step(solver, policy, keep_orig,
-                                         jit_compile=False)
+                                         jit_compile=False, mesh=mesh)
         sharded = pmesh.shard_train_step(raw_step, mesh)
 
         def step(st, raw_dev, rng):

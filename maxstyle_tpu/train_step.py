@@ -143,20 +143,31 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
 
 
 def make_fused_train_step(solver: TripletSegmentationSolver, aug_policy,
-                          keep_orig: bool, jit_compile: bool = True):
+                          keep_orig: bool, jit_compile: bool = True,
+                          mesh=None):
     """Augmentation + training in ONE dispatch: takes RAW padded slices
     [N,H,W] and performs the device-side augment (aug pair + norm pair
     concat, train.make_device_batch) inside the same XLA program as the
     optimizer step — halving per-iteration dispatch overhead, which
-    dominates once the step itself is ~ms-scale."""
+    dominates once the step itself is ~ms-scale.
+
+    `mesh`: under data-parallel sharding the augmentation runs inside a
+    shard_map over the mesh's 'data' axis (augment_batch_sharded) — GSPMD
+    cannot partition the pallas warp kernel, so without this the fast
+    augmentation path would silently all-gather and run replicated on
+    every chip."""
     from maxstyle_tpu.data import augment as A
     base_step = make_train_step(solver, jit_compile=False)
     crop_hw = aug_policy.crop_hw
 
     def fused(state: TrainState, raw: Dict[str, jnp.ndarray], rng: jax.Array):
         k_aug, k_step = jax.random.split(rng)
-        img, lab = A.augment_batch_inner(k_aug, raw["image"], raw["label"],
-                                         aug_policy)
+        if mesh is not None:
+            img, lab = A.augment_batch_sharded(k_aug, raw["image"],
+                                               raw["label"], aug_policy, mesh)
+        else:
+            img, lab = A.augment_batch_inner(k_aug, raw["image"],
+                                             raw["label"], aug_policy)
         batch = {"image": img, "label": lab}
         if keep_orig:
             oi, ol = jax.vmap(lambda i, l: A.center_crop_norm(i, l, crop_hw))(

@@ -28,11 +28,13 @@ class PairwiseMeasures:
     def __init__(self, seg: np.ndarray, ref: np.ndarray,
                  measures: Optional[Sequence[str]] = None,
                  num_neighbors: int = 8,
-                 pixdim: Optional[Sequence[float]] = None):
+                 pixdim: Optional[Sequence[float]] = None,
+                 list_labels: Optional[Sequence[int]] = None):
         self.seg = np.asarray(seg).astype(bool)
         self.ref = np.asarray(ref).astype(bool)
         self.pixdim = tuple(pixdim) if pixdim is not None else None
         self.neigh = num_neighbors
+        self._list_labels = list_labels
         self.m_dict = {
             "ref volume": (self.n_pos_ref, "Volume (Ref)"),
             "seg volume": (self.n_pos_seg, "Volume (Seg)"),
@@ -183,7 +185,12 @@ class PairwiseMeasures:
         return float(np.sqrt(np.sum((scale * (cr - cs)) ** 2)))
 
     def list_labels(self):
-        return tuple(np.unique(self.seg.astype(np.int32)))
+        """The label ids this binary pair was extracted from — supplied by
+        the caller like the reference's constructor argument
+        (hausdorff_util.py:94-136, 356-360); empty when not provided."""
+        if self._list_labels is None:
+            return ()
+        return tuple(np.unique(np.asarray(self._list_labels)))
 
     # --- border / distance (:381-442) ----------------------------------------
     def border_map(self, binary: np.ndarray) -> np.ndarray:

@@ -72,6 +72,7 @@ def run(view_bn: str, steps: int, hw: int, batch: int, seed: int):
     step = make_train_step(solver)
 
     data_rng = np.random.RandomState(seed + 1)
+    metrics = {"loss/total": float("nan")}  # --steps 0 = eval-only
     t0 = time.time()
     for i in range(steps):
         imgs, labs = phantom_batch(data_rng, batch, hw)

@@ -164,3 +164,30 @@ class TestTensorParallelViT:
         np.testing.assert_allclose(np.asarray(out_hidden[-1]),
                                    np.asarray(ref_hidden[-1]),
                                    rtol=2e-5, atol=1e-5)
+
+
+class TestShardedAugmentation:
+    """shard_map'd augmentation (augment_batch_sharded): the pallas warp has
+    no GSPMD partitioning rule, so the DP fused step wraps the augmentation
+    in a shard_map over 'data' — output must stay batch-sharded and shards
+    must draw independent augmentations."""
+
+    def test_output_sharded_and_shards_independent(self, eight_devices):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from maxstyle_tpu.data import augment as A
+
+        m = pmesh.make_mesh(8)
+        pol = A.get_policy("ACDC_affine_elastic_intensity", (48, 48), (32, 32))
+        raw = jnp.asarray(np.random.RandomState(0).rand(8, 48, 48), jnp.float32)
+        lab = jnp.zeros((8, 48, 48), jnp.int32)
+        f = jax.jit(lambda k, i, l: A.augment_batch_sharded(k, i, l, pol, m),
+                    in_shardings=(NamedSharding(m, P()),
+                                  NamedSharding(m, P("data")),
+                                  NamedSharding(m, P("data"))))
+        img, out_lab = f(jax.random.key(0), raw, lab)
+        assert img.sharding.spec == P("data"), img.sharding.spec
+        a = np.asarray(img)
+        assert np.isfinite(a).all() and a.shape == (8, 32, 32, 1)
+        # per-shard key folding: different shards, different augmentations
+        assert np.abs(a[0] - a[1]).max() > 1e-4
