@@ -162,6 +162,10 @@ class MixStyleConfig:
     eps: float = 1e-8
     mix: str = "random"  # 'random' | 'crossdomain' | 'gaussian' (DSU)
     lmda: Optional[float] = None
+    # fixed batch permutation (tuple of ints) — mirrors the reference's
+    # explicit-perm argument (mixstyle.py forward(x, perm=None) :44);
+    # None draws a fresh permutation per call
+    perm: Optional[Tuple[int, ...]] = None
 
 
 def apply_mixstyle(key: jax.Array, x: jnp.ndarray,
@@ -191,7 +195,9 @@ def apply_mixstyle(key: jax.Array, x: jnp.ndarray,
         lmda = jnp.full((b, 1, 1, 1), cfg.lmda)
 
     if cfg.mix in ("random", "crossdomain"):
-        if cfg.mix == "random":
+        if cfg.perm is not None:
+            perm = jnp.asarray(cfg.perm)
+        elif cfg.mix == "random":
             perm = jax.random.permutation(k_perm, b)
         else:
             # reverse, then shuffle within each half (mixstyle.py:85-92)

@@ -392,7 +392,8 @@ class TripletSegmentationSolver:
 
     def generate_max_style_image(self, params, stats, image_code, *,
                                  reference_segmentation, ms_cfg: MaxStyleConfig,
-                                 rng: jax.Array, rngs=None):
+                                 rng: jax.Array, rngs=None, style_init=None,
+                                 return_style: bool = False):
         """Style-augmented reconstruction via adversarial optimization of the
         per-batch style parameters {lmda, eps_gamma, eps_beta}.
 
@@ -411,17 +412,24 @@ class TripletSegmentationSolver:
         if len(indexes) == 0:
             recon, _ = self.decode("image_decoder", p_sg, s_sg, code, mode="frozen",
                                    rngs=rngs)
-            return sg(recon)
+            return (sg(recon), None) if return_style else sg(recon)
 
         chans = decoder_style_channels(self.spec.feature_reduce, self.image_ch)
         batch = jax.tree_util.tree_leaves(code)[0].shape[0]
-        keys = jax.random.split(rng, len(indexes))
-        style_params = {}
-        style_state = {}
-        for k, idx in zip(keys, indexes):
-            sp, st = ms.init_maxstyle(k, batch, chans[idx], ms_cfg)
-            style_params[idx] = sp
-            style_state[idx] = st
+        if style_init is not None:
+            # test/demo hook: inject fixed per-layer style parameters/state
+            # (mirrors overwriting the reference MaxStyle modules' .data)
+            style_params, style_state = style_init
+            style_params = {idx: style_params[idx] for idx in indexes}
+            style_state = {idx: style_state[idx] for idx in indexes}
+        else:
+            keys = jax.random.split(rng, len(indexes))
+            style_params = {}
+            style_state = {}
+            for k, idx in zip(keys, indexes):
+                sp, st = ms.init_maxstyle(k, batch, chans[idx], ms_cfg)
+                style_params[idx] = sp
+                style_state[idx] = st
         lmask = ms.learnable_mask(ms_cfg)
 
         if self.maxstyle_backend == "pallas":
@@ -474,7 +482,7 @@ class TripletSegmentationSolver:
         optimize = (ms_cfg.mix_style and ms_cfg.mix_learnable) or \
                    (ms_cfg.noise_learnable and not ms_cfg.no_noise)
         if ms_cfg.n_iter <= 0 or not optimize:
-            return sg(recon0)
+            return (sg(recon0), style_params) if return_style else sg(recon0)
 
         inner_tx = optax.adam(ms_cfg.lr)
         inner_opt = inner_tx.init(style_params)
@@ -509,7 +517,7 @@ class TripletSegmentationSolver:
         (style_params, _), _ = jax.lax.scan(body, (style_params, inner_opt),
                                             None, length=ms_cfg.n_iter)
         recon, _ = decode_with_styles(style_params, style_state)
-        return sg(recon)
+        return (sg(recon), style_params) if return_style else sg(recon)
 
     # ------------------------------------------------------------------
     # MixStyle / DSU encoder replay (advanced_triplet…:632-670)
@@ -518,12 +526,13 @@ class TripletSegmentationSolver:
     def generate_style_augmented_latent_code(self, params, stats, image, *,
                                              layers_indexes=(1, 2, 3),
                                              mix: str = "random", p: float = 0.5,
-                                             lmda=None, rng: jax.Array, rngs=None):
+                                             lmda=None, perm=None,
+                                             rng: jax.Array, rngs=None):
         """Replay the encoder with MixStyle/DSU injected after the chosen
         layers (1=after stem, 2..5=after down1..4, 6=after final act), BN
         stats frozen; returns (z_i, z_s)."""
         x = jax.lax.stop_gradient(image)
-        cfg = ms.MixStyleConfig(p=p, alpha=0.1, mix=mix, lmda=lmda)
+        cfg = ms.MixStyleConfig(p=p, alpha=0.1, mix=mix, lmda=lmda, perm=perm)
         enc = self.modules["image_encoder"]
 
         def make_hook(idx):

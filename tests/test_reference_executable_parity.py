@@ -1,0 +1,369 @@
+"""Golden parity against the reference's OWN executable PyTorch solver.
+
+Unlike test_torch_parity.py / test_full_model_parity.py (which execute
+builder-authored torch re-derivations of the documented architecture), these
+tests import the actual reference code from /root/reference via
+tests/reference_shim.py, initialize the reference model, carry its weights
+into our Flax modules (utils/torch_import.py), and pin every training-branch
+loss against the reference's own execution on identical batches:
+
+* standard_training           (advanced_triplet…:731-786, no_STN + STN nets)
+* hard_example_traininng      (:843-889)
+* mask_latent_code_channel/spatial_wise (model_util.py:240-374)
+* generate_style_augmented_latent_code  (:632-670, fixed lmda/perm)
+* MyDecoder.apply_max_style fixed-style decode (encoder_decoder.py:598-631)
+* one inner-loop Adam(0.1) style-optimization iteration (:543-566)
+
+A builder transcription error in both our implementation and our older
+hand-written torch truths cannot pass here: the right-hand side is the
+reference's own forward/backward graph.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import os  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from maxstyle_tpu.config import (DataConfig, ExperimentConfig,  # noqa: E402
+                                 LearningConfig, MaxStyleConfig,
+                                 SegmentationModelConfig)
+from maxstyle_tpu.solver import TripletSegmentationSolver  # noqa: E402
+from maxstyle_tpu.utils import torch_import as ti  # noqa: E402
+
+pytestmark = pytest.mark.slow  # full-model CPU fwd/bwd in two frameworks
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src"), reason="reference unavailable")
+
+HW = 64
+B = 4
+NUM_CLASSES = 4
+
+
+def to_nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+
+def from_ref(t: "torch.Tensor") -> np.ndarray:
+    return t.detach().cpu().numpy()
+
+
+def import_reference_weights(ref_model, spec):
+    """reference model dict -> our (params, batch_stats) trees."""
+    params, stats = {}, {}
+    for name, mod in ref_model.model.items():
+        sd = {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
+        p, s = ti.convert_module_state_dict(sd, name, spec)
+        params[name], stats[name] = p, s
+    return params, stats
+
+
+def build_pair(network_type: str):
+    """(reference torch solver, our solver, imported params, stats)."""
+    from tests.reference_shim import reference_solver_class
+    torch.manual_seed(0)
+    Cls = reference_solver_class()
+    ref = Cls(network_type=network_type, image_ch=1, num_classes=NUM_CLASSES,
+              use_gpu=False, image_size=HW, intensity_norm_type="min_max",
+              rec_loss_type="l2")
+    ref.train()
+    cfg = ExperimentConfig(
+        data=DataConfig(crop_size=(HW, HW, 1), num_classes=NUM_CLASSES,
+                        intensity_norm_type="min_max"),
+        segmentation_model=SegmentationModelConfig(
+            network_type=network_type, num_classes=NUM_CLASSES),
+        learning=LearningConfig(lr=1e-4, batch_size=B, optimizer_type="Adam",
+                                compute_dtype="float32"),
+        max_style=MaxStyleConfig(n_iter=1, decoder_layers_indexes=(3, 4, 5)),
+    )
+    solver = TripletSegmentationSolver(cfg, maxstyle_backend="jnp")
+    params, stats = import_reference_weights(ref, solver.spec)
+    return ref, solver, params, stats
+
+
+def fixed_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(B, 1, HW, HW).astype(np.float32)
+    xp = np.clip(x + 0.05 * rng.randn(B, 1, HW, HW).astype(np.float32), 0, 1)
+    y = (x[:, 0] * NUM_CLASSES).astype(np.int64) % NUM_CLASSES
+    return x, xp, y
+
+
+@needs_reference
+class TestStandardTraining:
+    @pytest.mark.parametrize("network_type", [
+        "FCN_16_standard_no_STN",
+        "FCN_16_standard",  # with STN: gt/pred shape-recon losses active
+    ])
+    def test_loss_parity(self, network_type):
+        ref, solver, params, stats = build_pair(network_type)
+        x, xp, y = fixed_batch()
+        ref_losses = ref.standard_training(
+            torch.from_numpy(x), torch.from_numpy(y), torch.from_numpy(xp))
+        ref_vals = [float(l) for l in ref_losses]
+
+        ours, _, _ = solver.standard_training(
+            params, stats, to_nhwc(x), jnp.asarray(y), to_nhwc(xp),
+            mode="train")
+        our_vals = [float(v) for v in ours]
+        np.testing.assert_allclose(our_vals, ref_vals, rtol=5e-4, atol=5e-5)
+
+
+@needs_reference
+class TestHardExampleTraining:
+    def test_loss_parity_no_stn(self):
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, xp, y = fixed_batch(1)
+        # un-normalized corrupted input: both sides min-max renormalize
+        pert = (2.0 * xp + 0.3).astype(np.float32)
+        ref_losses = ref.hard_example_traininng(
+            torch.from_numpy(pert), torch.from_numpy(x), None,
+            torch.from_numpy(y), use_gpu=False)
+        ref_vals = [float(l) for l in ref_losses]
+
+        ours, _ = solver.hard_example_training(
+            params, stats, to_nhwc(pert), to_nhwc(x), jnp.asarray(y))
+        our_vals = [float(v) for v in ours]
+        np.testing.assert_allclose(our_vals, ref_vals, rtol=5e-4, atol=5e-5)
+
+    def test_loss_parity_with_stn_and_perturbed_seg(self):
+        ref, solver, params, stats = build_pair("FCN_16_standard")
+        x, xp, y = fixed_batch(2)
+        pert = (1.5 * xp - 0.2).astype(np.float32)
+        # fixed "corrupted segmentation" logits
+        rng = np.random.RandomState(7)
+        pseg = rng.randn(B, NUM_CLASSES, HW, HW).astype(np.float32)
+        ref_losses = ref.hard_example_traininng(
+            torch.from_numpy(pert), torch.from_numpy(x),
+            torch.from_numpy(pseg), torch.from_numpy(y), use_gpu=False)
+        ref_vals = [float(l) for l in ref_losses]
+
+        ours, _ = solver.hard_example_training(
+            params, stats, to_nhwc(pert), to_nhwc(x), jnp.asarray(y),
+            perturbed_seg=to_nhwc(pseg))
+        our_vals = [float(v) for v in ours]
+        np.testing.assert_allclose(our_vals, ref_vals, rtol=5e-4, atol=5e-5)
+
+
+@needs_reference
+class TestLatentMasking:
+    """mask_latent_code_{channel,spatial}_wise (model_util.py:240-374),
+    deterministic settings (random_threshold=False, if_soft=False)."""
+
+    @pytest.mark.parametrize("perturb_type,loss_type,code_name", [
+        ("channel", "mse", "image"),
+        ("spatial", "mse", "image"),
+        ("channel", "ce", "shape"),
+        ("spatial", "ce", "shape"),
+    ])
+    def test_masked_code_parity(self, perturb_type, loss_type, code_name):
+        from maxstyle_tpu.ops import latent_masking as lm
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, xp, y = fixed_batch(3)
+        x_t = torch.from_numpy(x)
+
+        z_i_t, z_s_t = ref.encode_image(x_t)
+        if code_name == "image":
+            code_t, dec_t = z_i_t, ref.model["image_decoder"]
+            target_t = x_t
+        else:
+            code_t, dec_t = z_s_t, ref.model["segmentation_decoder"]
+            target_t = torch.from_numpy(y)
+        masked_t, mask_t = ref.perturb_latent_code(
+            latent_code=code_t, decoder_function=dec_t, label_y=target_t,
+            perturb_type=perturb_type, threshold=0.5, if_soft=False,
+            random_threshold=False, loss_type=loss_type, if_detach=True)
+
+        (z_i, z_s), _ = solver.encode_image(params, stats, to_nhwc(x),
+                                            mode="frozen")
+        # encoder forward parity through the reference's own modules
+        np.testing.assert_allclose(
+            np.asarray(z_i), np.transpose(from_ref(z_i_t), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4)
+        if code_name == "image":
+            code, dec_name, target = z_i, "image_decoder", to_nhwc(x)
+        else:
+            code, dec_name, target = z_s, "segmentation_decoder", jnp.asarray(y)
+
+        def dec_fn(c):
+            out, _ = solver.decode(dec_name, params, stats, c, mode="frozen")
+            return out
+
+        masked, mask = lm.perturb_latent_code(
+            code, dec_fn, target, num_classes=NUM_CLASSES,
+            perturb_type=perturb_type, threshold=0.5, if_soft=False,
+            random_threshold=False, loss_type=loss_type, if_detach=True,
+            key=jax.random.key(0))
+        np.testing.assert_allclose(
+            np.asarray(masked), np.transpose(from_ref(masked_t), (0, 2, 3, 1)),
+            rtol=5e-4, atol=1e-4)
+        # identical sets of masked positions (shapes differ: the reference
+        # returns the unbroadcast [B,C,1,1]/[B,1,H,W] mask, we return the
+        # code-shaped mask — compare after broadcasting both to code shape)
+        shape = from_ref(code_t).shape
+        np.testing.assert_array_equal(
+            np.broadcast_to(np.asarray(mask).transpose(0, 3, 1, 2), shape),
+            np.broadcast_to(from_ref(mask_t), shape))
+
+
+@needs_reference
+class TestMixStyleReplay:
+    def test_fixed_lmda_fixed_perm_parity(self):
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, _, _ = fixed_batch(4)
+        perm = (2, 0, 3, 1)
+        perm_t = torch.tensor(perm)
+        orig_randperm = torch.randperm
+        torch.randperm = lambda n, **kw: perm_t  # reference draws perm inside
+        try:
+            z_i_t, z_s_t = ref.generate_style_augmented_latent_code(
+                torch.from_numpy(x), layers_indexes=[1, 2, 3], lmda=0.3,
+                mix="random", p=1.0)
+        finally:
+            torch.randperm = orig_randperm
+
+        z_i, z_s = solver.generate_style_augmented_latent_code(
+            params, stats, to_nhwc(x), layers_indexes=(1, 2, 3),
+            mix="random", p=1.0, lmda=0.3, perm=perm, rng=jax.random.key(0))
+        np.testing.assert_allclose(
+            np.asarray(z_i), np.transpose(from_ref(z_i_t), (0, 2, 3, 1)),
+            rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(z_s), np.transpose(from_ref(z_s_t), (0, 2, 3, 1)),
+            rtol=5e-4, atol=5e-5)
+
+
+def fixed_reference_styles(ref_mod, batch, channels, indexes, seed=11):
+    """Build reference MaxStyle modules with overwritten deterministic
+    parameters; return (torch ModuleDict, numpy values per index)."""
+    import torch.nn as nn
+    rng = np.random.RandomState(seed)
+    modules, values = {}, {}
+    perm = np.array([1, 2, 3, 0])
+    for i in indexes:
+        c = channels[i]
+        m = ref_mod.MaxStyle(batch, c, p=1.0, mix_style=True, no_noise=False,
+                             mix_learnable=True, noise_learnable=True,
+                             use_gpu=False)
+        lmda = rng.rand(batch, 1, 1, 1).astype(np.float32)
+        gn = (0.1 * rng.randn(batch, c, 1, 1)).astype(np.float32)
+        bn = (0.1 * rng.randn(batch, c, 1, 1)).astype(np.float32)
+        with torch.no_grad():
+            m.lmda.data = torch.from_numpy(lmda.copy())
+            m.gamma_noise.data = torch.from_numpy(gn.copy())
+            m.beta_noise.data = torch.from_numpy(bn.copy())
+        m.perm = torch.from_numpy(perm.copy())
+        m.rand_p = torch.zeros(1)  # gate: always apply
+        modules[str(i)] = m
+        values[i] = dict(lmda=lmda, gamma_noise=gn, beta_noise=bn, perm=perm)
+    return nn.ModuleDict(modules), values
+
+
+def our_styles_from_values(values, cfg):
+    from maxstyle_tpu.ops import maxstyle as ms
+    style_params, style_state = {}, {}
+    for i, v in values.items():
+        c = v["gamma_noise"].shape[1]
+        nan_c = jnp.full((1, 1, 1, c), jnp.nan)
+        style_params[i] = ms.MaxStyleParams(
+            lmda=jnp.asarray(v["lmda"]),
+            gamma_noise=jnp.asarray(v["gamma_noise"]).transpose(0, 2, 3, 1),
+            beta_noise=jnp.asarray(v["beta_noise"]).transpose(0, 2, 3, 1))
+        style_state[i] = ms.MaxStyleState(
+            perm=jnp.asarray(v["perm"]), gate=jnp.asarray(1.0),
+            gamma_std=nan_c, beta_std=nan_c)
+    return style_params, style_state
+
+
+@needs_reference
+class TestMaxStyleDecode:
+    """apply_max_style through the reference's own decoder vs our decode
+    with style hooks, identical fixed style parameters."""
+
+    INDEXES = (3, 4, 5)
+
+    def _setup(self):
+        from tests.reference_shim import reference_module
+        ref_ms = reference_module("src.advanced.maxstyle")
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, _, y = fixed_batch(5)
+        z_i_t, _ = ref.encode_image(torch.from_numpy(x))
+        channels = [128, 64, 32, 16, 16, 1]  # train_adv…:255-260 for _16
+        sa_dict, values = fixed_reference_styles(
+            ref_ms, B, channels, self.INDEXES)
+        return ref, solver, params, stats, x, y, z_i_t, sa_dict, values
+
+    def test_fixed_style_decode_parity(self):
+        ref, solver, params, stats, x, y, z_i_t, sa_dict, values = self._setup()
+        recon_t = ref.model["image_decoder"].apply_max_style(
+            z_i_t, sa_dict, decoder_layers_indexes=list(self.INDEXES))
+
+        ms_cfg = MaxStyleConfig(n_iter=0, decoder_layers_indexes=self.INDEXES,
+                                p=1.0)
+        style_init = our_styles_from_values(values, ms_cfg)
+        (z_i, _), _ = solver.encode_image(params, stats, to_nhwc(x),
+                                          mode="frozen")
+        recon = solver.generate_max_style_image(
+            params, stats, z_i, reference_segmentation=jnp.asarray(y),
+            ms_cfg=ms_cfg, rng=jax.random.key(0), style_init=style_init)
+        np.testing.assert_allclose(
+            np.asarray(recon), np.transpose(from_ref(recon_t), (0, 2, 3, 1)),
+            rtol=5e-4, atol=5e-5)
+
+    def test_one_adam_iteration_parity(self):
+        """One inner adversarial iteration (advanced_triplet…:543-566):
+        decode w/ styles -> re-encode (frozen BN) -> seg decode -> -CE
+        -> Adam(0.1) step on {lmda, gamma_noise, beta_noise}."""
+        ref, solver, params, stats, x, y, z_i_t, sa_dict, values = self._setup()
+        y_t = torch.from_numpy(y)
+
+        # --- reference side: replicate the loop body with its own modules
+        from tests.reference_shim import reference_module
+        cl = reference_module("src.models.custom_loss")
+        opt = torch.optim.Adam(sa_dict.parameters(), lr=0.1)
+        recon_t = ref.model["image_decoder"].apply_max_style(
+            z_i_t, sa_dict, decoder_layers_indexes=list(self.INDEXES))
+        zi2, zs2 = ref.encode_image(recon_t, disable_track_bn_stats=True)
+        pred_t = ref.decoder_inference(decoder=ref.model["segmentation_decoder"],
+                                       latent_code=zs2, eval=False,
+                                       disable_track_bn_stats=True)
+        loss_t = -cl.basic_loss_fn(pred=pred_t, target=y_t,
+                                   loss_type="cross entropy", use_gpu=False)
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+        recon2_t = ref.model["image_decoder"].apply_max_style(
+            z_i_t, sa_dict, decoder_layers_indexes=list(self.INDEXES))
+
+        # --- our side: the actual jitted inner loop with n_iter=1
+        ms_cfg = MaxStyleConfig(n_iter=1, lr=0.1, p=1.0,
+                                decoder_layers_indexes=self.INDEXES)
+        style_init = our_styles_from_values(values, ms_cfg)
+        (z_i, _), _ = solver.encode_image(params, stats, to_nhwc(x),
+                                          mode="frozen")
+        recon2, style_after = solver.generate_max_style_image(
+            params, stats, z_i, reference_segmentation=jnp.asarray(y),
+            ms_cfg=ms_cfg, rng=jax.random.key(0), style_init=style_init,
+            return_style=True)
+
+        for i in self.INDEXES:
+            m = sa_dict[str(i)]
+            np.testing.assert_allclose(
+                np.asarray(style_after[i].lmda), from_ref(m.lmda),
+                rtol=1e-3, atol=1e-4, err_msg=f"lmda layer {i}")
+            np.testing.assert_allclose(
+                np.asarray(style_after[i].gamma_noise),
+                from_ref(m.gamma_noise).transpose(0, 2, 3, 1),
+                rtol=1e-3, atol=1e-4, err_msg=f"gamma layer {i}")
+            np.testing.assert_allclose(
+                np.asarray(style_after[i].beta_noise),
+                from_ref(m.beta_noise).transpose(0, 2, 3, 1),
+                rtol=1e-3, atol=1e-4, err_msg=f"beta layer {i}")
+        np.testing.assert_allclose(
+            np.asarray(recon2), np.transpose(from_ref(recon2_t), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4)
