@@ -35,6 +35,10 @@ def _pack_slices(ds):
             parts = [_pack_slices(d) for d in ds.datasets]
             if any(p is None for p in parts):
                 return None
+            # parts padded with different pad_hw can't be concatenated;
+            # fall back to the per-slice path instead of raising
+            if len({p[0].shape[1:] for p in parts}) != 1:
+                return None
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         return None

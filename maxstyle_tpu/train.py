@@ -120,7 +120,9 @@ def eval_model(solver, state, val_loader, policy, crop_hw, key,
 class ScalarLogger:
     """Loss-channel logging: cumulative-average scalars like the reference
     TensorBoard writer (train_adv…:538-541) + JSON export (:574-579).
-    TensorBoard is optional (torch SummaryWriter if importable)."""
+    Event files are written by the dependency-free utils/tb_events.py, so
+    `tensorboard --logdir <save_dir>` works as in the reference
+    (README.md:146-151) without importing TensorFlow."""
 
     def __init__(self, log_dir: Optional[str], enabled: bool):
         self.totals: Dict[str, float] = {}
@@ -130,11 +132,8 @@ class ScalarLogger:
         self.writer = None
         if enabled and log_dir:
             os.makedirs(log_dir, exist_ok=True)
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self.writer = SummaryWriter(log_dir=log_dir)
-            except Exception:
-                self.writer = None
+            from maxstyle_tpu.utils.tb_events import EventFileWriter
+            self.writer = EventFileWriter(log_dir)
             self.log_dir = log_dir
         else:
             self.log_dir = None
@@ -156,10 +155,10 @@ class ScalarLogger:
     def log_epoch(self, epoch: int, val_iou: float, val_acc: float):
         self._drain()
         if self.writer is not None:
-            for k, v in self.totals.items():
-                self.writer.add_scalar(k, v / max(self.count, 1), epoch)
-            self.writer.add_scalar("iou/val_iou", val_iou, epoch)
-            self.writer.add_scalar("acc/val_acc", val_acc, epoch)
+            scalars = {k: v / max(self.count, 1) for k, v in self.totals.items()}
+            scalars["iou/val_iou"] = val_iou
+            scalars["acc/val_acc"] = val_acc
+            self.writer.add_scalars(scalars, epoch)
         self.history.append({"epoch": epoch, "val_iou": val_iou,
                              "val_acc": val_acc,
                              **{k: v / max(self.count, 1)
@@ -169,6 +168,11 @@ class ScalarLogger:
         if self.log_dir:
             with open(os.path.join(self.log_dir, f"{name}.json"), "w") as f:
                 json.dump(self.history, f, indent=1)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+            self.writer = None
 
 
 def train_network(experiment_name: str, solver: TripletSegmentationSolver,

@@ -277,15 +277,27 @@ class PairwiseMeasures:
     # these too, misaligning its own CSVs — deliberate fix)
     _SINGLE_CELL = frozenset({"com_ref", "com_seg", "list_labels"})
 
+    # count-type measures: the reference prints these as raw python ints
+    # (connected_elements/detection_error counts, label lists) rather than
+    # float-formatting them — match that in CSV rows
+    _INT_MEASURES = frozenset({"connected_elements", "detection_error",
+                               "list_labels"})
+
     def to_string(self, fmt: str = "{:.4f}") -> str:
+        def cell(m, v):
+            v = float(v)
+            if m in self._INT_MEASURES and v.is_integer():
+                return str(int(v))
+            return fmt.format(v)
+
         cells = []
         for m in self.measures:
             val = self.m_dict[m][0]()
             if isinstance(val, (tuple, list, np.ndarray)):
                 sep = " " if m in self._SINGLE_CELL else ","
-                cells.append(sep.join(fmt.format(float(v)) for v in val))
+                cells.append(sep.join(cell(m, v) for v in val))
             else:
-                cells.append(fmt.format(float(val)))
+                cells.append(cell(m, val))
         return "," + ",".join(cells)
 
     def to_dict(self) -> dict:

@@ -12,6 +12,27 @@ def test_demo_generates_panel(tmp_path):
 
     out = str(tmp_path / "panel.png")
     demo.main(["--out", out, "--crop", "64", "--n_samples", "2",
-               "--n_iter", "1"])
+               "--n_iter", "1", "--image", "none",
+               "--torch_ckpt_dir", "none"])
     assert os.path.exists(out)
     assert os.path.getsize(out) > 1000
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir("/root/reference/notebooks/model"),
+                    reason="reference fixtures unavailable")
+def test_demo_runs_against_reference_fixtures(tmp_path, capsys):
+    """No-flag showcase (VERDICT r2 #8): shipped pretrained decoders +
+    real cardiac slices; latent code recovered by decoder inversion."""
+    from maxstyle_tpu import demo_generate_styles as demo
+
+    out = str(tmp_path / "panel.png")
+    demo.main(["--out", out, "--n_samples", "2", "--fit_iters", "40"])
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 1000
+    text = capsys.readouterr().out
+    assert "imported reference torch weights for image_decoder" in text
+    # decoder inversion made progress
+    line = [l for l in text.splitlines() if "decoder inversion" in l][0]
+    first, last = float(line.split()[-6]), float(line.split()[-4])
+    assert last < first
