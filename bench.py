@@ -15,14 +15,18 @@ every timed block therefore ends with a `jax.device_get` of a scalar that
 data-depends on the full step chain — the transfer cannot complete before
 the compute does.
 
-The reference publishes no throughput numbers (BASELINE.md), so
-`vs_baseline` is null; the steps/sec series across rounds is the regression
-baseline.
+The reference publishes no throughput numbers (BASELINE.md), so the
+baseline is the reference's OWN executable code measured on this host
+(scripts/bench_reference_cpu.py -> benchmarks/anchors.json):
+`vs_baseline` = our steps/s over the reference's measured same-host-CPU
+steps/s on the identical workload. An analytic GPU-estimate range for the
+unmeasurable published-hardware comparison is recorded in BASELINE.md.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
+import os
 import time
 
 import jax
@@ -70,12 +74,24 @@ def main():
     rates.sort()
     steps_per_sec = rates[len(rates) // 2]  # median
 
+    anchors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "anchors.json")
+    vs_baseline = None
+    try:
+        with open(anchors_path) as f:
+            ref = json.load(f)["ref_cpu_steps_per_sec"]
+        vs_baseline = round(steps_per_sec / ref, 1)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "maxstyle_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": ("steps/s (effective batch 20 @192x192, on-device aug, "
-                 "inner adv loop n_iter=5, device_get-barriered)"),
-        "vs_baseline": None,
+                 "inner adv loop n_iter=5, device_get-barriered); "
+                 "vs_baseline = x over the reference's own code measured "
+                 "same-host (torch CPU, benchmarks/anchors.json)"),
+        "vs_baseline": vs_baseline,
     }))
 
 
