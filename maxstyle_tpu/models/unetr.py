@@ -29,12 +29,20 @@ from maxstyle_tpu.models.unet import CodeFilter
 
 class SelfAttention(nn.Module):
     """MONAI SABlock semantics (monai/networks/blocks/selfattention.py):
-    fused qkv Linear WITHOUT bias (qkv_bias=False default), token layout
-    (qkv, heads, head_dim) per the `b h (qkv l d)` rearrange, scaled
+    fused qkv Linear WITHOUT bias (qkv_bias=False default), scaled
     dot-product with dropout on the attention weights, out-projection
     Linear WITH bias + output dropout. Hand-rolled (not flax MHA) so the
     bias structure and weight layout map 1:1 onto MONAI checkpoints
-    (utils/torch_import.convert_unetr_vit)."""
+    (utils/torch_import.convert_unetr_vit).
+
+    Layout note: the fused feature axis here is HEAD-MAJOR —
+    (head, qkv, head_dim) — not MONAI's (qkv, head, head_dim) `b h
+    (qkv l d)` rearrange. Numerically identical (the converter permutes
+    imported checkpoint columns), but under Megatron tensor parallelism an
+    even column split over the 'model' axis then keeps WHOLE heads (with
+    their q, k and v together) on one shard for any
+    num_heads % model_parallel == 0, so the attention einsums stay
+    shard-local with no resharding collectives (parallel/tp.py)."""
 
     hidden_size: int = 768
     num_heads: int = 12
@@ -48,11 +56,10 @@ class SelfAttention(nn.Module):
         head_dim = self.hidden_size // heads
         qkv = nn.Dense(3 * self.hidden_size, use_bias=False,
                        dtype=self.dtype, name="qkv")(x)
-        # MONAI rearrange "b h (qkv l d) -> qkv b l h d"
-        qkv = qkv.reshape(b, n, 3, heads, head_dim)
-        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [b, heads, n, d]
-        k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
-        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+        qkv = qkv.reshape(b, n, heads, 3, head_dim)
+        q = jnp.transpose(qkv[:, :, :, 0], (0, 2, 1, 3))  # [b, heads, n, d]
+        k = jnp.transpose(qkv[:, :, :, 1], (0, 2, 1, 3))
+        v = jnp.transpose(qkv[:, :, :, 2], (0, 2, 1, 3))
         att = jnp.einsum("bhxd,bhyd->bhxy", q, k) * (head_dim ** -0.5)
         att = jax.nn.softmax(att, axis=-1)
         if self.dropout_rate > 0.0:

@@ -244,15 +244,30 @@ def _layernorm(sd, name):
             "bias": np.asarray(sd[f"{name}.bias"])}
 
 
-def convert_unetr_vit(sd, num_layers: int = 12) -> dict:
+def _qkv_to_head_major(qkv_params: dict, num_heads: int) -> dict:
+    """Permute a fused-qkv Dense from MONAI's (qkv, head, dim) column
+    layout (`b h (qkv l d)` rearrange) to our HEAD-MAJOR (head, qkv, dim)
+    layout (models/unetr.SelfAttention — keeps whole heads shard-local
+    under Megatron tensor parallelism, parallel/tp.py)."""
+    out = {}
+    for name, w in qkv_params.items():
+        w = np.asarray(w)
+        d = w.shape[-1] // (3 * num_heads)
+        shape = w.shape[:-1]
+        w = w.reshape(shape + (3, num_heads, d))
+        w = np.moveaxis(w, -3, -2)  # (..., head, qkv, dim)
+        out[name] = w.reshape(shape + (3 * num_heads * d,))
+    return out
+
+
+def convert_unetr_vit(sd, num_layers: int = 12, num_heads: int = 12) -> dict:
     """MONAI ViT state dict -> Flax models.unetr.ViT params.
 
     MONAI naming (monai/networks/nets/vit.py + blocks): patch_embedding.
     patch_embeddings (conv), patch_embedding.position_embeddings,
     blocks.{i}.{norm1,attn.qkv,attn.out_proj,norm2,mlp.linear1,mlp.linear2},
-    trailing `norm`. The fused qkv feature dim is laid out (qkv, head, dim)
-    outermost-first in BOTH frameworks (the `b h (qkv l d)` rearrange and
-    our reshape), so a plain transpose suffices — no head permutation.
+    trailing `norm`. The fused qkv columns are permuted from MONAI's
+    (qkv, head, dim) layout to our head-major layout (_qkv_to_head_major).
     """
     params = {
         "patch_embed": _conv(sd, "patch_embedding.patch_embeddings"),
@@ -264,7 +279,8 @@ def convert_unetr_vit(sd, num_layers: int = 12) -> dict:
         params[f"block{i}"] = {
             "norm1": _layernorm(sd, f"{p}.norm1"),
             "norm2": _layernorm(sd, f"{p}.norm2"),
-            "attn": {"qkv": _linear(sd, f"{p}.attn.qkv"),
+            "attn": {"qkv": _qkv_to_head_major(
+                         _linear(sd, f"{p}.attn.qkv"), num_heads),
                      "out_proj": _linear(sd, f"{p}.attn.out_proj")},
             "linear1": _linear(sd, f"{p}.mlp.linear1"),
             "linear2": _linear(sd, f"{p}.mlp.linear2"),

@@ -191,3 +191,103 @@ class TestShardedAugmentation:
         assert np.isfinite(a).all() and a.shape == (8, 32, 32, 1)
         # per-shard key folding: different shards, different augmentations
         assert np.abs(a[0] - a[1]).max() > 1e-4
+
+
+class TestTensorParallelTraining:
+    """TP TRAINING (VERDICT r2 #4): params + optimizer state sharded by the
+    Megatron specs over the 'model' axis (parallel/tp.py), one-step loss and
+    updated-parameter equality vs the replicated execution."""
+
+    def _vit_setup(self):
+        import optax
+        from maxstyle_tpu.models.unetr import ViT
+
+        vit = ViT(img_size=32, patch_size=16, hidden_size=48, mlp_dim=96,
+                  num_layers=2, num_heads=4)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(4, 32, 32, 1), jnp.float32)
+        target = jnp.asarray(rng.rand(4, 4, 48), jnp.float32)
+        v = vit.init(jax.random.key(0), x, train=False)
+        tx = optax.adam(1e-3)
+        bundle = {"params": v["params"], "opt": tx.init(v["params"]),
+                  "step": jnp.zeros((), jnp.int32)}
+
+        def step_fn(bundle, batch, _rng):
+            def loss_fn(p):
+                out, _ = vit.apply({"params": p}, batch["x"], train=False)
+                return jnp.mean((out - batch["y"]) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(bundle["params"])
+            updates, opt = tx.update(grads, bundle["opt"], bundle["params"])
+            return ({"params": optax.apply_updates(bundle["params"], updates),
+                     "opt": opt, "step": bundle["step"] + 1},
+                    {"loss": loss})
+
+        return vit, bundle, step_fn, {"x": x, "y": target}
+
+    def test_tp_train_step_matches_replicated(self, eight_devices):
+        from maxstyle_tpu.parallel import tp
+
+        vit, bundle, step_fn, batch = self._vit_setup()
+        ref_bundle, ref_metrics = jax.jit(step_fn)(
+            bundle, batch, jax.random.key(1))
+
+        m = pmesh.make_mesh(8, model_parallel=4)  # heads=4 % mp=4 == 0
+        shardings = tp.train_state_tp_shardings(bundle, m)
+        b_tp = jax.device_put(bundle, shardings)
+        # params AND adam moments are actually split over 'model'
+        qkv = b_tp["params"]["block0"]["attn"]["qkv"]["kernel"]
+        assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+        mu_qkv = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map_with_path(
+                lambda p, l: l if any(
+                    getattr(k, "key", None) == "qkv" for k in p) else None,
+                b_tp["opt"][0].mu, is_leaf=lambda l: l is None))
+        assert any(x.sharding.spec != jax.sharding.PartitionSpec()
+                   for x in mu_qkv if x is not None)
+
+        step_tp = tp.shard_tp_train_step(step_fn, shardings, m,
+                                         donate_state=False)
+        out_bundle, metrics = step_tp(b_tp, batch, jax.random.key(1))
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(ref_metrics["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        # updated params identical to the replicated update
+        flat_ref = jax.tree_util.tree_leaves(ref_bundle["params"])
+        flat_tp = jax.tree_util.tree_leaves(out_bundle["params"])
+        for a, b in zip(flat_ref, flat_tp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=1e-6)
+        # updated params keep the TP placement (no silent re-replication)
+        qkv2 = out_bundle["params"]["block0"]["attn"]["qkv"]["kernel"]
+        assert qkv2.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+    @pytest.mark.slow
+    def test_solver_tp_train_step_unetr(self, eight_devices):
+        """FULL UnetTransformer solver train step on the 2D (data x model)
+        mesh: ViT trunk + its Adam moments sharded, loss equal to the
+        replicated execution."""
+        from maxstyle_tpu.parallel import tp
+        from tests.test_unet_variants import with_network
+
+        cfg = with_network(small_config(), "UnetTransformer_16")
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (64, 64), batch_size=4)
+        raw_step = make_train_step(solver, jit_compile=False)
+        batch = synthetic_batch(jax.random.key(1))
+
+        _, ref_metrics = jax.jit(raw_step)(state, batch, jax.random.key(2))
+
+        m = pmesh.make_mesh(8, model_parallel=4)  # 12 heads % 4 == 0
+        shardings = tp.train_state_tp_shardings(state, m)
+        st_tp = jax.device_put(state, shardings)
+        qkv = (st_tp.params["image_encoder"]["vit"]["block0"]["attn"]["qkv"]
+               ["kernel"])
+        assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+        step_tp = tp.shard_tp_train_step(raw_step, shardings, m,
+                                         donate_state=False)
+        st2, metrics = step_tp(st_tp, batch, jax.random.key(2))
+        np.testing.assert_allclose(float(metrics["loss/total"]),
+                                   float(ref_metrics["loss/total"]),
+                                   rtol=5e-5, atol=1e-5)
+        assert all(np.isfinite(float(v)) for v in metrics.values())

@@ -108,7 +108,7 @@ def test_vit_forward_parity_with_monai_semantics():
     vit = ViT(img_size=IMG, patch_size=PATCH, hidden_size=HID, mlp_dim=MLP,
               num_layers=LAYERS, num_heads=HEADS)
     params = ti.convert_unetr_vit({k: v.numpy() for k, v in sd_t.items()},
-                                  num_layers=LAYERS)
+                                  num_layers=LAYERS, num_heads=HEADS)
     # structural agreement with a fresh init
     init = jax.jit(lambda k, xx: vit.init(k, xx, train=False))(
         jax.random.key(0), jnp.asarray(x))
