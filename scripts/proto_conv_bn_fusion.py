@@ -35,41 +35,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+TILE_H = 16
+
+
 def _kernel(x_ref, w_ref, b_ref, y_ref, sum_ref, sq_ref):
-    """One grid step = one batch item. x_ref: [1, H+2, W+2, C_in] (padded),
-    w_ref: [9*C_in, C_out], b_ref: [1, C_out]; y_ref: [1, H, W, C_out];
-    sum_ref/sq_ref: [1, C_out] accumulated across the (sequential) grid."""
+    """Grid (B,). x block [1, H+2, W+2, C_in] in VMEM; conv computed in
+    STATIC row stripes of TILE_H so only one stripe's tap values are live
+    at a time (a whole-image unrolled tap chain stack-allocates ~74 MB and
+    blows the 16 MB scoped-vmem limit). Stats accumulate across stripes
+    and across the sequential grid."""
     i = pl.program_id(0)
     h = y_ref.shape[1]
     w = y_ref.shape[2]
     c_in = x_ref.shape[3]
     c_out = y_ref.shape[3]
 
-    x = x_ref[0]
-    acc = jnp.zeros((h * w, c_out), jnp.float32)
-    # 9 shifted matmuls over the taps: patches [H*W, C_in] @ w_tap [C_in, C_out]
-    for dy in range(3):
-        for dx in range(3):
-            tap = x[dy:dy + h, dx:dx + w, :].reshape(h * w, c_in)
-            k0 = (dy * 3 + dx) * c_in
-            acc += jnp.dot(tap, w_ref[k0:k0 + c_in, :],
-                           preferred_element_type=jnp.float32)
-    acc += b_ref[0][None, :]
-    y_ref[0] = acc.reshape(h, w, c_out)
-
-    # fused BN-stat epilogue: y never re-read from HBM
-    s = jnp.sum(acc, axis=0, keepdims=True)
-    sq = jnp.sum(acc * acc, axis=0, keepdims=True)
+    s_tot = jnp.zeros((1, c_out), jnp.float32)
+    sq_tot = jnp.zeros((1, c_out), jnp.float32)
+    for r0 in range(0, h, TILE_H):
+        acc = jnp.zeros((TILE_H, w, c_out), jnp.float32)
+        # 9 shifted contractions on the LAST axis — no [HW, C] reshape
+        # (that relayout blows scoped vmem)
+        for dy in range(3):
+            for dx in range(3):
+                tap = x_ref[0, r0 + dy:r0 + dy + TILE_H, dx:dx + w, :]
+                k0 = (dy * 3 + dx) * c_in
+                acc += jax.lax.dot_general(
+                    tap, w_ref[k0:k0 + c_in, :],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc += b_ref[0][None, None, :]
+        y_ref[0, r0:r0 + TILE_H] = acc
+        # fused BN-stat epilogue: y never re-read from HBM
+        s_tot += jnp.sum(acc, axis=(0, 1)).reshape(1, c_out)
+        sq_tot += jnp.sum(acc * acc, axis=(0, 1)).reshape(1, c_out)
 
     @pl.when(i == 0)
     def _():
-        sum_ref[:] = s
-        sq_ref[:] = sq
+        sum_ref[:] = s_tot
+        sq_ref[:] = sq_tot
 
     @pl.when(i > 0)
     def _():
-        sum_ref[:] += s
-        sq_ref[:] += sq
+        sum_ref[:] += s_tot
+        sq_ref[:] += sq_tot
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -79,6 +88,7 @@ def conv3x3_bn_stats_pallas(x, w, b, interpret=False):
     computed in the conv epilogue."""
     bsz, h, wd, c_in = x.shape
     c_out = w.shape[-1]
+    assert h % TILE_H == 0, (h, TILE_H)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * c_in, c_out)
     y, s, sq = pl.pallas_call(
@@ -86,19 +96,19 @@ def conv3x3_bn_stats_pallas(x, w, b, interpret=False):
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, h + 2, wd + 2, c_in), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((9 * c_in, c_out), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, h, wd, c_out), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, h, wd, c_out), jnp.float32),
@@ -147,16 +157,33 @@ def check():
 
 
 def bench(shapes):
-    def timed(fn, *args, reps=20):
-        out = fn(*args)
-        _ = float(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
+    REPS = 50
+
+    def timed(fn, *args):
+        """Scan-amortized: REPS invocations inside ONE compiled dispatch
+        (per-dispatch tunnel latency on this host is ~10 ms — far above
+        these sub-ms kernels). The conv output feeds the next iteration's
+        input (scaled), so iterations serialize and nothing folds."""
+        x0, w, b = args
+
+        @jax.jit
+        def loop(x, w, b):
+            def body(carry, _):
+                out = fn(carry, w, b)
+                y = out[0] if isinstance(out, tuple) else out
+                extra = (out[1][0] * 1e-20 if isinstance(out, tuple)
+                         else 0.0)
+                nxt = y * (0.1 / (1.0 + jnp.abs(jnp.mean(y)))) + extra
+                return nxt, ()
+            final, _ = jax.lax.scan(body, x, None, length=REPS)
+            return jnp.mean(final)
+
+        r = loop(x0, w, b)
+        _ = float(jax.device_get(r))  # compile + warm
         t0 = time.perf_counter()
-        chain = 0.0
-        for _ in range(reps):
-            out = fn(*args)
-            chain = chain + jax.tree_util.tree_leaves(out)[0].ravel()[0] * 1e-20
-        _ = float(jax.device_get(chain))
-        return (time.perf_counter() - t0) / reps
+        r = loop(x0, w, b)
+        _ = float(jax.device_get(r))
+        return (time.perf_counter() - t0) / REPS
 
     results = []
     for (bsz, hw, c) in shapes:
@@ -166,16 +193,23 @@ def bench(shapes):
         b = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
         t_conv = timed(conv3x3_xla, x, w, b)
         t_stat = timed(conv3x3_bn_stats_xla, x, w, b)
-        t_fused = timed(conv3x3_bn_stats_pallas, x, w, b)
-        results.append({
+        row = {
             "shape": f"B{bsz} {hw}x{hw} C{c}",
             "xla_conv_ms": round(t_conv * 1e3, 3),
             "xla_conv_stats_ms": round(t_stat * 1e3, 3),
-            "pallas_fused_ms": round(t_fused * 1e3, 3),
             "stat_pass_cost_ms": round((t_stat - t_conv) * 1e3, 3),
-            "fused_vs_xla_stats": round(t_fused / t_stat, 3),
-        })
-        print(json.dumps(results[-1]))
+            "stat_pass_pct_of_conv": round(100 * (t_stat - t_conv)
+                                           / max(t_conv, 1e-9), 1),
+        }
+        print(json.dumps(row))  # XLA bound first: survives a pallas failure
+        try:
+            t_fused = timed(conv3x3_bn_stats_pallas, x, w, b)
+            row["pallas_fused_ms"] = round(t_fused * 1e3, 3)
+            row["fused_vs_xla_stats"] = round(t_fused / t_stat, 3)
+        except Exception as e:  # Mosaic limitation — record, keep going
+            row["pallas_error"] = f"{type(e).__name__}: {str(e)[:1200]}"
+        results.append(row)
+        print(json.dumps(row))
     return results
 
 
