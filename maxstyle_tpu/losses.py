@@ -376,15 +376,18 @@ def normalized_cross_correlation(x: jnp.ndarray, y: jnp.ndarray,
 
 
 def _gaussian_blur3(x: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
-    """3x3 depthwise gaussian smoothing (NGF_Loss.get_gaussian_kernel with
-    kernel_size=3, sigma=1; custom_loss.py:252-291)."""
-    coords = np.arange(3, dtype=np.float32)
+    """Depthwise gaussian smoothing (NGF_Loss.get_gaussian_kernel,
+    custom_loss.py:283-326). The reference requests kernel_size=3 but its
+    min-size rule `kernel_size < 2*int(3.5*sigma)+1` grows it to 7x7 for
+    sigma=1 — replicate that effective kernel exactly."""
+    ks = max(3, 2 * int(3.5 * sigma) + 1)
+    coords = np.arange(ks, dtype=np.float32)
     gx, gy = np.meshgrid(coords, coords, indexing="ij")
-    mean = 1.0
+    mean = (ks - 1) / 2.0
     k = np.exp(-((gx - mean) ** 2 + (gy - mean) ** 2) / (2 * sigma**2))
     k = (k / k.sum()).astype(np.float32)
     c = x.shape[-1]
-    kern = jnp.asarray(np.tile(k.reshape(3, 3, 1, 1), (1, 1, 1, c)))
+    kern = jnp.asarray(np.tile(k.reshape(ks, ks, 1, 1), (1, 1, 1, c)))
     dn = jax.lax.conv_dimension_numbers(x.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(x, kern, (1, 1), "SAME", dimension_numbers=dn,
                                         feature_group_count=c)
@@ -435,6 +438,10 @@ def basic_loss_fn(pred: jnp.ndarray, target: jnp.ndarray,
     if loss_type == "weighted cross entropy":
         return cross_entropy_2d(pred, target, weight=class_weights)
     if loss_type == "dice":
+        return soft_dice_loss(pred, target, num_classes)
+    if loss_type == "weighted dice":
+        # reference parity: SoftDiceLoss.forward accepts `weight` but never
+        # uses it (custom_loss.py:556-586), so 'weighted dice' == 'dice'
         return soft_dice_loss(pred, target, num_classes)
     if loss_type == "foreground dice":
         return soft_dice_loss(pred, target, num_classes,

@@ -50,12 +50,15 @@ def triplet_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
 
 
 def brier_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean squared error between softmax probs and one-hot targets
-    (custom_loss.CustomBrierLoss:762-778)."""
+    """Squared error between softmax probs and one-hot targets
+    (custom_loss.CustomBrierLoss:762-778). Reference normalization: the
+    squared error is SUMMED over pixels and divided by batch*classes only
+    (not by the pixel count) — matched exactly."""
     num_classes = logits.shape[-1]
+    b = logits.shape[0]
     p = jax.nn.softmax(logits, axis=-1)
     y = losses.one_hot(labels.astype(jnp.int32), num_classes)
-    return jnp.mean(jnp.sum((p - y) ** 2, axis=-1))
+    return jnp.sum((p - y) ** 2) / (float(b) * float(num_classes))
 
 
 def ncc_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -104,8 +107,9 @@ def cross_entropy_3d(logits: jnp.ndarray, labels: jnp.ndarray, weight=None,
 
 
 def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
-                   beta: float = 1.0) -> jnp.ndarray:
-    """Huber/smooth-L1 (custom_loss.smooth_l1_loss:500-509)."""
+                   beta: float = 1.0 / 9) -> jnp.ndarray:
+    """Huber/smooth-L1 (custom_loss.smooth_l1_loss:500-509; the reference
+    default beta is 1/9)."""
     d = jnp.abs(pred - target)
     return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
 
