@@ -158,14 +158,16 @@ def assd(result, reference, voxelspacing=None) -> float:
 
 
 def hd_2d_stack(result, reference, voxelspacing_2d=None) -> float:
-    """HD of a 3D volume computed as the MAX over per-slice 2D HDs
-    (metrics.py:220-227 — the reference's cardiac convention)."""
+    """HD of a 3D volume as the MEAN over per-slice 2D HDs (slices where
+    both masks are non-empty), -1 when no slice qualifies — exactly
+    measure.hd_2D_stack:381-399, the convention runningMySegmentationScore
+    uses for cardiac HD (reference metrics.py:220-227)."""
     hds = []
     for sl in range(result.shape[0]):
         r, g = result[sl], reference[sl]
         if r.any() and g.any():
             hds.append(hausdorff_distance(r, g, voxelspacing_2d))
-    return float(max(hds)) if hds else 0.0
+    return float(np.mean(hds)) if hds else -1.0
 
 
 def _object_correspondences(reference, result, connectivity: int = 1):

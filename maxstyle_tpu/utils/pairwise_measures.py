@@ -194,17 +194,56 @@ class PairwiseMeasures:
 
     # --- border / distance (:381-442) ----------------------------------------
     def border_map(self, binary: np.ndarray) -> np.ndarray:
+        """Voxels of the mask with at least one orthogonal background
+        neighbor — equivalent to the reference's 6-neighbor shift-sum trick
+        (MorphologyOps.border_map:25-38: `cumulative < 6` on zero-filled
+        shifts == erosion complement with the cross structure and
+        border_value=0)."""
         conn = ndimage.generate_binary_structure(binary.ndim, 1)
         return binary ^ ndimage.binary_erosion(binary, conn)
 
+    def _border_distances(self):
+        """(ref_border_dist, seg_border_dist) per the reference's niftynet
+        formulation (border_distance:381-399): UNSCALED euclidean distance
+        transforms of each mask's complement, masked by the OTHER mask's
+        border. Note the reference applies no pixdim scaling here — kept
+        for CSV parity."""
+        if not hasattr(self, "_bd"):
+            border_ref = self.border_map(self.ref)
+            border_seg = self.border_map(self.seg)
+            distance_ref = ndimage.distance_transform_edt(~self.ref)
+            distance_seg = ndimage.distance_transform_edt(~self.seg)
+            self._bd = (border_seg * distance_ref, border_ref * distance_seg,
+                        border_ref, border_seg)
+        return self._bd
+
     def measured_hausdorff_distance(self):
-        return metrics.hausdorff_distance(self.seg, self.ref, self.pixdim)
+        """max over both directed border-distance maps (measured_distance
+        :401-413)."""
+        ref_bd, seg_bd, _, _ = self._border_distances()
+        return float(np.max([np.max(ref_bd), np.max(seg_bd)]))
 
     def measured_hausdorff_distance_95(self):
-        return metrics.hd95(self.seg, self.ref, self.pixdim)
+        """95th-percentile variant (niftynet convention; the reference's
+        vendored copy dropped it — retained as the same border formulation
+        over the nonzero directed distances)."""
+        ref_bd, seg_bd, border_ref, border_seg = self._border_distances()
+        a = ref_bd[border_seg > 0]
+        b = seg_bd[border_ref > 0]
+        if a.size == 0 or b.size == 0:
+            return -1.0
+        return float(np.max([np.percentile(a, 95), np.percentile(b, 95)]))
 
     def measured_average_distance(self):
-        return metrics.assd(self.seg, self.ref, self.pixdim)
+        """(sum of both directed maps) / (sum of BOTH MASK VOLUMES) — the
+        reference's exact (idiosyncratic) normalizer, measured_distance
+        :408-410: np.sum(self.ref + self.seg)."""
+        ref_bd, seg_bd, _, _ = self._border_distances()
+        denom = float(np.sum(self.ref.astype(np.int64)
+                             + self.seg.astype(np.int64)))
+        if denom == 0:
+            return -1.0
+        return float((np.sum(ref_bd) + np.sum(seg_bd)) / denom)
 
     # --- connected-component errors (:443-543, Wack et al.) ------------------
     # NOTE one deliberate deviation: the reference enumerates components
