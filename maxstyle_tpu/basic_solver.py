@@ -101,7 +101,10 @@ class SegmentationModel:
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
-            ema = (ema_update(state.ema_params, params, self.ema_decay)
+            # warmup decay like the reference teacher (use_num_updates=True,
+            # base_segmentation_model.py:64): n is 1-based incl. this update
+            ema = (ema_update(state.ema_params, params, self.ema_decay,
+                              num_updates=state.step + 1)
                    if self.use_ema else None)
             return BasicState(params=params, batch_stats=new_stats,
                               opt_state=opt_state, ema_params=ema,

@@ -26,7 +26,16 @@ def jnp_copy(x):
     return jnp.array(x)
 
 
-def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999,
+               num_updates=None) -> Any:
+    """One EMA step. `num_updates` (1-based count INCLUDING this update)
+    enables the reference's warmup: decay = min(decay, (1+n)/(10+n))
+    (model_util.ExponentialMovingAverage.update:108-125, used by the
+    teacher EMA with use_num_updates=True)."""
+    import jax.numpy as jnp
+    if num_updates is not None:
+        n = jnp.asarray(num_updates, jnp.float32)
+        decay = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
     return jax.tree_util.tree_map(
         lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)
 
