@@ -99,6 +99,7 @@ class TestStandardTraining:
     @pytest.mark.parametrize("network_type", [
         "FCN_16_standard_no_STN",
         "FCN_16_standard",  # with STN: gt/pred shape-recon losses active
+        "Unet_16_standard_no_STN",  # second model family: maxpool UNet
     ])
     def test_loss_parity(self, network_type):
         ref, solver, params, stats = build_pair(network_type)
