@@ -42,8 +42,20 @@ class TestExtraLosses:
         assert np.isfinite(float(lx.cross_entropy_3d(logits, labels)))
 
     def test_smooth_l1_quadratic_interior(self):
+        # reference default beta=1/9 (custom_loss.smooth_l1_loss:500):
+        # |d| < beta -> 0.5*d^2/beta; |d| >= beta -> d - beta/2
+        beta = 1.0 / 9
+        d = beta / 2
+        np.testing.assert_allclose(
+            float(lx.smooth_l1_loss(jnp.asarray([d]), jnp.asarray([0.0]))),
+            0.5 * d * d / beta, atol=1e-7)
         np.testing.assert_allclose(
             float(lx.smooth_l1_loss(jnp.asarray([0.5]), jnp.asarray([0.0]))),
+            0.5 - beta / 2, atol=1e-6)
+        # beta=1.0 recovers the classic Huber interior value
+        np.testing.assert_allclose(
+            float(lx.smooth_l1_loss(jnp.asarray([0.5]), jnp.asarray([0.0]),
+                                    beta=1.0)),
             0.125, atol=1e-6)
 
     def test_laplacian_smoothness_flat_zero(self):
