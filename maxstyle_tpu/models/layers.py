@@ -188,6 +188,69 @@ class FixableDropout(nn.Module):
         return jnp.where(keep, x / (1.0 - self.rate), 0.0)
 
 
+def _l2_normalize(x, eps: float = 1e-12):
+    # torch F.normalize(dim=0): x / max(||x||, eps)
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+class TorchSNConv3x3(nn.Module):
+    """3x3 conv under torch-semantics spectral normalization
+    (torch.nn.utils.spectral_norm, n_power_iterations=1).
+
+    ds_res_convdown wraps conv_1 in spectral_norm in BOTH its branches
+    (encoder_decoder.py:372 AND :386) — the if_SN=False branch included —
+    so the DS_FCN encoder always runs this quirk; we preserve it.
+
+    Faithful to torch (unlike flax.linen.SpectralNorm, used for the if_sn
+    path): BOTH u and v persist as state; eval uses them as-is with no
+    fresh iteration; a training forward first runs one power iteration
+    (v = normalize(W^T u); u = normalize(W v), no grad) and then computes
+    sigma = u . (W v) with u, v stopped but W live, so the backward carries
+    torch's quotient-rule term d(W/sigma)/dW exactly.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal_fan_in,
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", jax.nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        # torch weight_mat: weight (O,I,kh,kw) viewed as (O, I*kh*kw)
+        w_mat = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
+
+        def init_vec(n):
+            def init(key):
+                return _l2_normalize(jax.random.normal(key, (n,), jnp.float32))
+            return init
+
+        u_var = self.variable("batch_stats", "u", init_vec(self.features),
+                              self.make_rng("params") if
+                              not self.has_variable("batch_stats", "u") else None)
+        v_var = self.variable("batch_stats", "v", init_vec(w_mat.shape[1]),
+                              self.make_rng("params") if
+                              not self.has_variable("batch_stats", "v") else None)
+        u, v = u_var.value, v_var.value
+        if train:
+            w_sg = jax.lax.stop_gradient(w_mat)
+            v = _l2_normalize(w_sg.T @ u)
+            u = _l2_normalize(w_sg @ v)
+            if not self.is_initializing():
+                u_var.value, v_var.value = u, v
+        sigma = jnp.dot(jax.lax.stop_gradient(u),
+                        w_mat @ jax.lax.stop_gradient(v))
+        w = kernel / sigma
+        if self.dtype is not None:
+            x, w, bias = (a.astype(self.dtype) for a in (x, w, bias))
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias
+
+
 class ResConvDown(nn.Module):
     """Strided-conv residual down block (encoder_decoder.res_convdown:22-74):
     down-conv(s2) -> [conv3-norm-lrelu-conv3-norm] + 1x1(skip) -> lrelu
@@ -225,7 +288,14 @@ class ResConvDown(nn.Module):
         x = sn(nn.Conv(in_ch, (3, 3), strides=(2, 2), padding=1,
                        kernel_init=kaiming_normal_fan_in, dtype=self.dtype,
                        name="down"))(x)
-        h = sn(conv3x3(self.out_ch, name="conv1", dtype=self.dtype))(x)
+        if self.num_domains > 1 and not self.if_sn:
+            # ds_res_convdown's if_SN=False branch STILL spectral-norms
+            # conv_1 (encoder_decoder.py:386) — preserve the quirk with
+            # torch-exact semantics.
+            h = TorchSNConv3x3(self.out_ch, dtype=self.dtype,
+                               name="conv1")(x, train=train)
+        else:
+            h = sn(conv3x3(self.out_ch, name="conv1", dtype=self.dtype))(x)
         h = make_norm("norm1")(h)
         h = lrelu(h)
         h = sn(conv3x3(self.out_ch, name="conv2", dtype=self.dtype))(h)

@@ -112,6 +112,67 @@ def convert_encoder(sd, prefix: str = "") -> Tuple[dict, dict]:
     return params, stats
 
 
+def _ds_bn(sd, name, num_domains: int = 2) -> Tuple[dict, dict]:
+    """DomainSpecificBatchNorm2d (custom_layers.py:69-104): children
+    ``bns.{d}`` -> our DomainSpecificNorm2d children ``bn_domain{d}``."""
+    params: Dict = {}
+    stats: Dict = {}
+    for d in range(num_domains):
+        p, s = _bn(sd, f"{name}.bns.{d}")
+        params[f"bn_domain{d}"] = p
+        stats[f"bn_domain{d}"] = s
+    return params, stats
+
+
+def _sn_conv(sd, name) -> Tuple[dict, dict]:
+    """torch.nn.utils.spectral_norm'd conv: weight_orig + u/v power-iteration
+    buffers -> TorchSNConv3x3 params {kernel,bias} + stats {u,v}."""
+    w = np.asarray(sd[f"{name}.weight_orig"]).transpose(2, 3, 1, 0)
+    params = {"kernel": w}
+    if f"{name}.bias" in sd:
+        params["bias"] = np.asarray(sd[f"{name}.bias"])
+    stats = {"u": np.asarray(sd[f"{name}.weight_u"]),
+             "v": np.asarray(sd[f"{name}.weight_v"])}
+    return params, stats
+
+
+def convert_ds_res_down(sd, prefix: str, num_domains: int = 2) -> Tuple[dict, dict]:
+    """ds_res_convdown (encoder_decoder.py:360-420). Unlike res_convdown's
+    Sequential (conv.0/.1/.3/.4), the DS block names its children explicitly:
+    conv_1/norm_1/conv_2/norm_2 — and conv_1 is spectral-normed even in the
+    if_SN=False branch (:386)."""
+    params: Dict = {"down": _conv(sd, f"{prefix}.down"),
+                    "conv2": _conv(sd, f"{prefix}.conv_2"),
+                    "conv_input": _conv(sd, f"{prefix}.conv_input")}
+    stats: Dict = {}
+    params["conv1"], stats["conv1"] = _sn_conv(sd, f"{prefix}.conv_1")
+    params["norm1"], stats["norm1"] = _ds_bn(sd, f"{prefix}.norm_1", num_domains)
+    params["norm2"], stats["norm2"] = _ds_bn(sd, f"{prefix}.norm_2", num_domains)
+    return params, stats
+
+
+def convert_ds_encoder(sd, prefix: str = "", num_domains: int = 2) -> Tuple[dict, dict]:
+    """DomainSpecificEncoder (encoder_decoder.py:485-558) -> models.Encoder
+    variables with num_domains>1. Same topology as MyEncoder; the stem convs
+    are named inc_conv_1/2 (not a Sequential) and final_conv is a bare conv."""
+    pre = f"{prefix}." if prefix else ""
+    params: Dict = {"inc": {"conv1": _conv(sd, f"{pre}inc_conv_1"),
+                            "conv2": _conv(sd, f"{pre}inc_conv_2")}}
+    stats: Dict = {"inc": {}}
+    params["inc"]["norm1"], stats["inc"]["norm1"] = _ds_bn(
+        sd, f"{pre}norm_1", num_domains)
+    params["inc"]["norm2"], stats["inc"]["norm2"] = _ds_bn(
+        sd, f"{pre}norm_2", num_domains)
+    for i in range(1, 5):
+        p, s = convert_ds_res_down(sd, f"{pre}down{i}", num_domains)
+        params[f"down{i}"] = p
+        stats[f"down{i}"] = s
+    params["final_conv"] = _conv(sd, f"{pre}final_conv")
+    params["final_norm"], stats["final_norm"] = _ds_bn(
+        sd, f"{pre}final_norm", num_domains)
+    return params, stats
+
+
 def convert_code_decoupler(sd, prefix: str = "code_decoupler") -> Tuple[dict, dict]:
     params: Dict = {"conv1": _conv(sd, f"{prefix}.0")}
     stats: Dict = {}
@@ -122,8 +183,15 @@ def convert_code_decoupler(sd, prefix: str = "code_decoupler") -> Tuple[dict, di
 
 
 def convert_dual_branch_encoder(sd) -> Tuple[dict, dict]:
-    """Dual_Branch_Encoder (encoder_decoder.py:634-680)."""
-    enc_p, enc_s = convert_encoder(sd, "general_encoder")
+    """Dual_Branch_Encoder (encoder_decoder.py:634-680). The general encoder
+    is DomainSpecificEncoder when built with num_domains>1 (DS_FCN,
+    advanced_triplet…:174-177) — detected from its distinct child naming."""
+    if "general_encoder.inc_conv_1.weight" in sd:
+        nd = 1 + max(int(k.split(".bns.")[1].split(".")[0])
+                     for k in sd if ".bns." in k)
+        enc_p, enc_s = convert_ds_encoder(sd, "general_encoder", nd)
+    else:
+        enc_p, enc_s = convert_encoder(sd, "general_encoder")
     dec_p, dec_s = convert_code_decoupler(sd)
     return ({"general_encoder": enc_p, "code_decoupler": dec_p},
             {"general_encoder": enc_s, "code_decoupler": dec_s})

@@ -100,6 +100,7 @@ class TestStandardTraining:
         "FCN_16_standard_no_STN",
         "FCN_16_standard",  # with STN: gt/pred shape-recon losses active
         "Unet_16_standard_no_STN",  # second model family: maxpool UNet
+        "DS_FCN_16_standard",  # dual-domain BN (DomainSpecificEncoder)
     ])
     def test_loss_parity(self, network_type):
         ref, solver, params, stats = build_pair(network_type)
@@ -121,6 +122,22 @@ class TestHardExampleTraining:
         ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
         x, xp, y = fixed_batch(1)
         # un-normalized corrupted input: both sides min-max renormalize
+        pert = (2.0 * xp + 0.3).astype(np.float32)
+        ref_losses = ref.hard_example_traininng(
+            torch.from_numpy(pert), torch.from_numpy(x), None,
+            torch.from_numpy(y), use_gpu=False)
+        ref_vals = [float(l) for l in ref_losses]
+
+        ours, _ = solver.hard_example_training(
+            params, stats, to_nhwc(pert), to_nhwc(x), jnp.asarray(y))
+        our_vals = [float(v) for v in ours]
+        np.testing.assert_allclose(our_vals, ref_vals, rtol=5e-4, atol=5e-5)
+
+    def test_loss_parity_ds_fcn_domain1(self):
+        """DS_FCN: the hard-example pass runs the encoder's DOMAIN-1 BN bank
+        in tracked (train) mode (advanced_triplet…:860-865)."""
+        ref, solver, params, stats = build_pair("DS_FCN_16_standard")
+        x, xp, y = fixed_batch(6)
         pert = (2.0 * xp + 0.3).astype(np.float32)
         ref_losses = ref.hard_example_traininng(
             torch.from_numpy(pert), torch.from_numpy(x), None,
