@@ -20,20 +20,32 @@ _KMAX = max(KERNEL_CANDIDATES)
 
 
 def rand_conv_augment(key: jax.Array, image: jnp.ndarray, prob: float = 0.5,
-                      mix: bool = True) -> jnp.ndarray:
+                      mix: bool = True, fixed=None) -> jnp.ndarray:
     """One RandConv transform: random kernel size, weights ~ N(0, 1/(c k^2)),
     optional alpha-blend with the input; output detached
-    (rand_conv_aug.py:19-48; with mix=True the transform always applies)."""
+    (rand_conv_aug.py:19-48; with mix=True the transform always applies).
+
+    ``fixed=(k, weights_hwio, alpha)`` is a test/parity hook injecting a
+    static kernel size, its (k,k,c,c) weights and the mix alpha in place of
+    the random draws (mirrors pinning the reference's torch.randn/rand).
+    """
     k_gate, k_size, k_w, k_alpha = jax.random.split(key, 4)
     c = image.shape[-1]
 
-    size_idx = jax.random.randint(k_size, (), 0, len(KERNEL_CANDIDATES))
-    k_sizes = jnp.asarray(KERNEL_CANDIDATES)
-    k = k_sizes[size_idx]
+    if fixed is not None:
+        k_static, w_small, alpha_fixed = fixed
+        k = jnp.asarray(k_static)
+        pad = (_KMAX - k_static) // 2
+        w_full = jnp.pad(jnp.asarray(w_small),
+                         ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+    else:
+        size_idx = jax.random.randint(k_size, (), 0, len(KERNEL_CANDIDATES))
+        k_sizes = jnp.asarray(KERNEL_CANDIDATES)
+        k = k_sizes[size_idx]
 
-    # full-size weight draw; sigma depends on the selected k
-    sigma = 1.0 / jnp.sqrt(c * k.astype(jnp.float32) ** 2)
-    w_full = jax.random.normal(k_w, (_KMAX, _KMAX, c, c)) * sigma
+        # full-size weight draw; sigma depends on the selected k
+        sigma = 1.0 / jnp.sqrt(c * k.astype(jnp.float32) ** 2)
+        w_full = jax.random.normal(k_w, (_KMAX, _KMAX, c, c)) * sigma
 
     # zero the outer ring beyond the selected kernel (centered mask)
     r = jax.lax.broadcasted_iota(jnp.int32, (_KMAX, _KMAX), 0)
@@ -48,7 +60,8 @@ def rand_conv_augment(key: jax.Array, image: jnp.ndarray, prob: float = 0.5,
                                         dimension_numbers=dn)
 
     if mix:
-        alpha = jax.random.uniform(k_alpha)
+        alpha = (jnp.asarray(fixed[2]) if fixed is not None and fixed[2]
+                 is not None else jax.random.uniform(k_alpha))
         out = alpha * image + (1.0 - alpha) * conv
     else:
         p0 = jax.random.uniform(k_gate)

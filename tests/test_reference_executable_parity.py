@@ -13,6 +13,11 @@ loss against the reference's own execution on identical batches:
 * generate_style_augmented_latent_code  (:632-670, fixed lmda/perm)
 * MyDecoder.apply_max_style fixed-style decode (encoder_decoder.py:598-631)
 * one inner-loop Adam(0.1) style-optimization iteration (:543-566)
+* the FULL n_iter=5 loop through the reference's own
+  generate_max_style_image (:458-571, MaxStyle factory pinned)
+* predict() inference path (:673-691) — incl. documenting that the
+  reference's STN predict is dead code (NameError at :325)
+* RandConvAug.transform (rand_conv_aug.py:13-48), pinned draws
 
 A builder transcription error in both our implementation and our older
 hand-written torch truths cannot pass here: the right-hand side is the
@@ -333,6 +338,53 @@ class TestMaxStyleDecode:
             np.asarray(recon), np.transpose(from_ref(recon_t), (0, 2, 3, 1)),
             rtol=5e-4, atol=5e-5)
 
+    def test_five_iter_loop_through_reference_generate(self):
+        """The FULL inner adversarial loop (n_iter=5), driven through the
+        reference's OWN generate_max_style_image (advanced_triplet…:458-571)
+        rather than a re-derived loop body: patch the MaxStyle factory so the
+        modules it builds internally carry our fixed deterministic style
+        parameters, then compare the final stylized reconstruction after five
+        Adam(0.1) steps on both sides."""
+        import sys
+        ref, solver, params, stats, x, y, z_i_t, sa_dict, values = self._setup()
+        atm = sys.modules[type(ref).__module__]
+        channels = [128, 64, 32, 16, 16, 1]
+        queue = [sa_dict[str(i)] for i in self.INDEXES]
+        orig_maxstyle = atm.MaxStyle
+        atm.MaxStyle = lambda *a, **kw: queue.pop(0)
+        try:
+            recon_t = ref.generate_max_style_image(
+                z_i_t, decoder_layers_indexes=list(self.INDEXES),
+                channel_num=channels, p=1.0, n_iter=5, lr=0.1,
+                reference_image=torch.from_numpy(x),
+                reference_segmentation=torch.from_numpy(y))
+        finally:
+            atm.MaxStyle = orig_maxstyle
+
+        ms_cfg = MaxStyleConfig(n_iter=5, lr=0.1, p=1.0,
+                                decoder_layers_indexes=self.INDEXES)
+        style_init = our_styles_from_values(values, ms_cfg)
+        (z_i, _), _ = solver.encode_image(params, stats, to_nhwc(x),
+                                          mode="frozen")
+        recon, style_after = solver.generate_max_style_image(
+            params, stats, z_i, reference_segmentation=jnp.asarray(y),
+            ms_cfg=ms_cfg, rng=jax.random.key(0), style_init=style_init,
+            return_style=True)
+        # The 5-step adversarial loop is chaotically conditioned: running the
+        # REFERENCE against itself with the input code perturbed by 1e-6
+        # drifts lmda by up to 1.3e-2 and the recon by 2.5e-3 (Adam's
+        # grad/sqrt(v) normalization re-rotates the step direction each
+        # iteration). Cross-framework diffs measured at 1.1e-2/\~3e-3 are
+        # inside that intrinsic envelope; tolerances sized to it.
+        for i in self.INDEXES:
+            m = sa_dict[str(i)]
+            np.testing.assert_allclose(
+                np.asarray(style_after[i].lmda), from_ref(m.lmda),
+                rtol=2e-2, atol=2e-2, err_msg=f"lmda layer {i}")
+        np.testing.assert_allclose(
+            np.asarray(recon), np.transpose(from_ref(recon_t), (0, 2, 3, 1)),
+            rtol=2e-2, atol=1e-2)
+
     def test_one_adam_iteration_parity(self):
         """One inner adversarial iteration (advanced_triplet…:543-566):
         decode w/ styles -> re-encode (frozen BN) -> seg decode -> -CE
@@ -385,3 +437,100 @@ class TestMaxStyleDecode:
         np.testing.assert_allclose(
             np.asarray(recon2), np.transpose(from_ref(recon2_t), (0, 2, 3, 1)),
             rtol=1e-3, atol=1e-4)
+
+
+@needs_reference
+class TestPredict:
+    """Inference-path parity against the reference's own predict()
+    (advanced_triplet…:673-691): eval-mode BN throughout; no_STN (or
+    n_iter<=1) returns the FTN logits, STN + n_iter>1 returns the
+    STN-refined logits."""
+
+    def test_logit_parity_no_stn(self):
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, _, _ = fixed_batch(8)
+        pred_t = ref.predict(torch.from_numpy(x), n_iter=5)
+        pred = solver.predict(params, stats, to_nhwc(x), n_iter=5)
+        np.testing.assert_allclose(
+            np.asarray(pred), np.transpose(from_ref(pred_t), (0, 2, 3, 1)),
+            rtol=1e-3, atol=5e-4)
+
+    def test_stn_predict_is_dead_code_in_reference(self):
+        """The reference's run() references an undefined name ``image``
+        (advanced_triplet…:325), so predict() CRASHES for every STN network
+        type; all 15 shipped configs use FCN_16_standard_no_STN, which is why
+        the bug survives. Documented in MIGRATION.md."""
+        ref, _, _, _ = build_pair("FCN_16_standard")
+        x, _, _ = fixed_batch(8)
+        with pytest.raises(NameError):
+            ref.predict(torch.from_numpy(x), n_iter=5)
+
+    def test_stn_logit_parity_vs_intended_composition(self):
+        """Our STN predict vs the reference's own components composed per
+        run()'s evident intent (:310-328 with the undefined ``image`` bound
+        to the normalized input): fast_predict -> image_decoder ->
+        recon_shape, all eval-mode."""
+        ref, solver, params, stats = build_pair("FCN_16_standard")
+        x, _, _ = fixed_batch(8)
+        from tests.reference_shim import reference_module
+        bo = reference_module("src.common_utils.basic_operations")
+        x_t = bo.rescale_intensity(torch.from_numpy(x), 0, 1)
+        ref.eval()
+        with torch.inference_mode():
+            (z_i, _), y0 = ref.fast_predict(x_t)
+            recon = ref.decoder_inference(decoder_name="image_decoder",
+                                          latent_code=z_i)
+            refined_t = ref.recon_shape(y0, image=x_t, is_label_map=False,
+                                        recon_image=recon)
+        pred = solver.predict(params, stats, to_nhwc(x), n_iter=5)
+        np.testing.assert_allclose(
+            np.asarray(pred), np.transpose(from_ref(refined_t), (0, 2, 3, 1)),
+            rtol=1e-3, atol=5e-4)
+
+    def test_softmax_parity(self):
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, _, _ = fixed_batch(9)
+        pred_t = ref.predict(torch.from_numpy(x), softmax=True)
+        pred = solver.predict(params, stats, to_nhwc(x), softmax=True)
+        np.testing.assert_allclose(
+            np.asarray(pred), np.transpose(from_ref(pred_t), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-5)
+
+
+@needs_reference
+class TestRandConv:
+    """ops.randconv vs the reference's own RandConvAug.transform
+    (rand_conv_aug.py:13-48) with pinned kernel size / weights / alpha."""
+
+    @pytest.mark.parametrize("k", [1, 3, 7])
+    def test_fixed_weight_parity(self, k):
+        import random as pyrandom
+        from tests.reference_shim import reference_module
+        from maxstyle_tpu.ops.randconv import rand_conv_augment
+        rca = reference_module("src.advanced.rand_conv_aug")
+
+        c, hw = 2, 32
+        rng = np.random.RandomState(k)
+        x = rng.rand(3, c, hw, hw).astype(np.float32)
+        raw = rng.randn(c, c, k, k).astype(np.float32)  # pre-sigma N(0,1) draw
+        alpha = 0.3
+
+        aug = rca.RandConvAug(prob=0.5, mix=True)
+        orig = (pyrandom.shuffle, torch.randn, torch.rand)
+        pyrandom.shuffle = lambda lst: (lst.remove(k), lst.insert(0, k))
+        torch.randn = lambda *a, **kw: torch.from_numpy(raw.copy())
+        torch.rand = lambda *a, **kw: torch.tensor([alpha])
+        try:
+            out_t = aug.transform(torch.from_numpy(x))
+        finally:
+            pyrandom.shuffle, torch.randn, torch.rand = orig
+
+        # the reference scales the raw draw by sigma=1/sqrt(c k^2) itself
+        # (rand_conv_aug.py:32-33); torch conv weight (O,I,kh,kw) -> (kh,kw,I,O)
+        w_oikk = raw / np.sqrt(c * k * k, dtype=np.float32)
+        w_hwio = w_oikk.transpose(2, 3, 1, 0)
+        out = rand_conv_augment(jax.random.key(0), to_nhwc(x), mix=True,
+                                fixed=(k, jnp.asarray(w_hwio), alpha))
+        np.testing.assert_allclose(
+            np.asarray(out), np.transpose(from_ref(out_t), (0, 2, 3, 1)),
+            rtol=1e-5, atol=1e-6)
