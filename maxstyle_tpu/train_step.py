@@ -13,7 +13,7 @@ Loss channel names mirror the reference's TensorBoard keys
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,8 +66,12 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
     if unsupported:
         raise NotImplementedError(f"method branches not yet wired: {sorted(unsupported)}")
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+             overrides: Dict[str, Any] | None = None,
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # ``overrides`` is a test/parity hook pinning the step's random
+        # draws: {'image_n': fixed noisy input, 'style_init': fixed MaxStyle
+        # params/state} — mirrors seeding the reference's torch RNG.
         clean_image = batch["image"]          # [N,H,W,C] aug+orig concat
         if clean_image.ndim != 4:
             raise ValueError(
@@ -79,7 +83,9 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
             raise ValueError(
                 f"batch['label'] must be [N,H,W], got {label.shape}")
         k = prng.split_dict(rng, ("noise", "maxstyle", "dropout", "branches"))
-        image_n = add_input_noise(clean_image, k["noise"], intensity_norm_type)
+        ov = overrides or {}
+        image_n = (ov["image_n"] if "image_n" in ov else
+                   add_input_noise(clean_image, k["noise"], intensity_norm_type))
         rngs = {"dropout": k["dropout"]}
         metrics: Dict[str, jnp.ndarray] = {}
 
@@ -100,7 +106,8 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
                 stylized = solver.generate_max_style_image(
                     params, stats, aux.z_i,
                     reference_segmentation=label, ms_cfg=cfg.max_style,
-                    rng=k["maxstyle"], rngs=rngs)
+                    rng=k["maxstyle"], rngs=rngs,
+                    style_init=ov.get("style_init"))
                 (h_seg, h_rec, h_shape1, h_shape2), stats = \
                     solver.hard_example_training(
                         params, stats, stylized, clean_image, label,

@@ -59,10 +59,16 @@ def from_ref(t: "torch.Tensor") -> np.ndarray:
 
 
 def import_reference_weights(ref_model, spec):
-    """reference model dict -> our (params, batch_stats) trees."""
+    """reference model dict -> our (params, batch_stats) trees.
+
+    .copy() is load-bearing: torch's .numpy() shares storage, and the
+    reference mutates weights/BN buffers IN-PLACE (optimizer steps, running
+    stats) — without the copy, running the reference side first would
+    silently corrupt our imported trees."""
     params, stats = {}, {}
     for name, mod in ref_model.model.items():
-        sd = {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
+        sd = {k: v.detach().cpu().numpy().copy()
+              for k, v in mod.state_dict().items()}
         p, s = ti.convert_module_state_dict(sd, name, spec)
         params[name], stats[name] = p, s
     return params, stats
@@ -534,3 +540,124 @@ class TestRandConv:
         np.testing.assert_allclose(
             np.asarray(out), np.transpose(from_ref(out_t), (0, 2, 3, 1)),
             rtol=1e-5, atol=1e-6)
+
+
+@needs_reference
+class TestFullTrainStep:
+    """One COMPLETE training iteration of the headline MaxStyle recipe
+    (train_adv…:158-541 with only max_style on): standard branch + pinned
+    2-step adversarial style generation + hard-example branch, the composed
+    total loss, one backward, and per-module Adam(1e-4) updates — comparing
+    the reference's post-step WEIGHTS against our real jitted train step's.
+    This pins the loss composition, the grad flow across branches, and the
+    optimizer wiring in one shot."""
+
+    def test_one_step_weight_parity(self):
+        import dataclasses
+        import sys
+        from tests.reference_shim import reference_module
+        from maxstyle_tpu.solver import TrainState
+        from maxstyle_tpu.train_step import make_train_step
+
+        ref, solver0, params, stats = build_pair("FCN_16_standard_no_STN")
+        cfg = dataclasses.replace(
+            solver0.config,
+            learning=dataclasses.replace(solver0.config.learning,
+                                         max_style=True),
+            max_style=MaxStyleConfig(n_iter=2, lr=0.1, p=1.0,
+                                     decoder_layers_indexes=(3, 4, 5)))
+        solver = TripletSegmentationSolver(cfg, maxstyle_backend="jnp")
+
+        x, _, y = fixed_batch(12)
+        rng = np.random.RandomState(13)
+        noise = 0.05 * rng.randn(*x.shape).astype(np.float32)
+        image_n = np.clip(x + noise, x.min(), x.max()).astype(np.float32)
+
+        # ---- reference side (train_adv…:173-287,533-537 with max_style)
+        ref_ms = reference_module("src.advanced.maxstyle")
+        atm = sys.modules[type(ref).__module__]
+        channels = [128, 64, 32, 16, 16, 1]
+        sa_dict, values = fixed_reference_styles(ref_ms, B, channels,
+                                                 (3, 4, 5))
+        x_t, y_t, xn_t = map(torch.from_numpy, (x, y, image_n))
+        ref.train()
+        ref.reset_all_optimizers()
+        (seg_l, img_l, gt_l, shape_l, easy_recon, p0,
+         p_ref) = ref.standard_training(x_t, y_t, perturbed_image=xn_t,
+                                        return_output=True)
+        standard_loss = seg_l + img_l + shape_l + gt_l
+        queue = [sa_dict[str(i)] for i in (3, 4, 5)]
+        orig_maxstyle = atm.MaxStyle
+        atm.MaxStyle = lambda *a, **kw: queue.pop(0)
+        try:
+            stylized = ref.generate_max_style_image(
+                ref.z_i, decoder_layers_indexes=[3, 4, 5],
+                channel_num=channels, p=1.0, n_iter=2, lr=0.1,
+                reference_image=x_t, reference_segmentation=y_t)
+        finally:
+            atm.MaxStyle = orig_maxstyle
+        l_seg1, l_rec, l_sh1, l_sh2 = ref.hard_example_traininng(
+            perturbed_image=stylized.detach().clone(), perturbed_seg=None,
+            clean_image_l=x_t, label_l=y_t,
+            standard_input_image=xn_t.detach().clone(),
+            standard_recon_image=easy_recon)
+        loss = standard_loss + (l_rec + l_seg1 + l_sh1 + l_sh2)
+        ref.reset_all_optimizers()
+        loss.backward()
+        ref.optimize_all_params()
+        ref_params, _ = import_reference_weights(ref, solver.spec)
+
+        # ---- our side: the REAL train step with the same pinned draws
+        state = TrainState(
+            params=params, batch_stats=stats,
+            opt_states={n: solver.tx.init(params[n]) for n in params},
+            step=jnp.zeros((), jnp.int32))
+        step = make_train_step(solver, jit_compile=False)
+        overrides = {"image_n": to_nhwc(image_n),
+                     "style_init": our_styles_from_values(values, cfg)}
+        new_state, m = step(state, {"image": to_nhwc(x), "label": jnp.asarray(y)},
+                            jax.random.key(0), overrides=overrides)
+
+        # loss-composition parity (tight)
+        np.testing.assert_allclose(float(m["loss/standard/total"]),
+                                   float(standard_loss), rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(
+            float(m["loss/hard/total"]),
+            float(l_rec + l_seg1 + l_sh1 + l_sh2), rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(float(m["loss/total"]), float(loss),
+                                   rtol=2e-3, atol=2e-4)
+
+        # weight-update parity. The FIRST Adam step is ~lr*sign(g)
+        # elementwise, so elements whose gradient is at float-noise scale can
+        # flip sign between frameworks (bounded |diff| <= 2*lr + eps); real
+        # composition/optimizer bugs would decorrelate the whole update
+        # direction instead. Assert (a) every element within the sign-flip
+        # bound and (b) the update directions are globally aligned.
+        lr = 1e-4
+        for name in ref_params:
+            for path, ours, theirs in _walk(new_state.params[name],
+                                            ref_params[name]):
+                diff = np.abs(np.asarray(ours) - theirs)
+                assert diff.max() <= 2 * lr * 1.05 + 1e-6, (
+                    f"{name}/{path}: max weight diff {diff.max():.2e}")
+            our_d = _flat_delta(params[name], new_state.params[name])
+            ref_d = _flat_delta(params[name], ref_params[name])
+            cos = float(np.dot(our_d, ref_d) /
+                        (np.linalg.norm(our_d) * np.linalg.norm(ref_d) + 1e-12))
+            assert cos > 0.98, f"{name}: update cosine {cos:.4f}"
+
+
+def _walk(ours, theirs, path=""):
+    if isinstance(theirs, dict):
+        for k in theirs:
+            yield from _walk(ours[k], theirs[k], f"{path}/{k}")
+    else:
+        yield path, ours, theirs
+
+
+def _flat_delta(before, after):
+    leaves_b = jax.tree_util.tree_leaves(before)
+    leaves_a = jax.tree_util.tree_leaves(after)
+    return np.concatenate([
+        (np.asarray(a, np.float64) - np.asarray(b, np.float64)).ravel()
+        for b, a in zip(leaves_b, leaves_a)])
