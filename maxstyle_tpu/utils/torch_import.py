@@ -262,6 +262,11 @@ def convert_module_state_dict(sd: dict, module_name: str,
         return convert_dual_branch_encoder(sd)
     if module_name == "segmentation_decoder" and is_unet:
         return convert_unet_decoder(sd)
+    if (module_name == "image_decoder" and is_unet
+            and "Unet_im_recon" in getattr(spec, "network_type", "")):
+        # Unet_im_recon's image branch is a UnetDecoder over the skip
+        # pyramid (advanced_triplet…:245), not a MyDecoder
+        return convert_unet_decoder(sd)
     if module_name in ("image_decoder", "segmentation_decoder",
                        "shape_decoder"):
         return convert_decoder(sd)

@@ -18,6 +18,11 @@ loss against the reference's own execution on identical batches:
 * predict() inference path (:673-691) — incl. documenting that the
   reference's STN predict is dead code (NameError at :325)
 * RandConvAug.transform (rand_conv_aug.py:13-48), pinned draws
+* UnetDecoder.apply_max_style + its 2-step loop (unet.py:104-136) — incl.
+  documenting that Unet_im_recon construction is dead code (NameError at
+  advanced_triplet…:245)
+* one COMPLETE training iteration: composed loss, backward, per-module
+  Adam updates, post-step weights (train_adv…:158-541)
 
 A builder transcription error in both our implementation and our older
 hand-written torch truths cannot pass here: the right-hand side is the
@@ -661,3 +666,117 @@ def _flat_delta(before, after):
     return np.concatenate([
         (np.asarray(a, np.float64) - np.asarray(b, np.float64)).ravel()
         for b, a in zip(leaves_b, leaves_a)])
+
+
+@needs_reference
+class TestUnetMaxStyleDecode:
+    """UnetDecoder.apply_max_style (unet.py:104-136) — the Unet_im_recon
+    image branch styles the skip-pyramid decode (hook 0 = detached bottom
+    feature, 1..4 = after each up, 5 = after outc/last_act) — vs our
+    UnetDecoder style hooks, identical fixed styles; plus the full 2-step
+    adversarial loop through the reference's own generate_max_style_image."""
+
+    INDEXES = (0, 2, 5)
+    NTYPE = "Unet_16_Unet_im_recon_no_STN"
+
+    def test_unet_im_recon_construction_is_dead_code_in_reference(self):
+        """The reference's Unet_im_recon image-decoder construction
+        references an undefined name ``last_act``
+        (advanced_triplet…:245), so EVERY Unet_im_recon network type
+        crashes at build time — another dead variant whose evident intent
+        (last_act=image_decoder_last_act, activation=act) we implement.
+        Documented in MIGRATION.md."""
+        from tests.reference_shim import reference_solver_class
+        with pytest.raises(NameError):
+            reference_solver_class()(network_type=self.NTYPE, image_ch=1,
+                                     num_classes=NUM_CLASSES, use_gpu=False,
+                                     image_size=HW)
+
+    def _setup(self):
+        """Build the reference as plain Unet, then graft a reference
+        UnetDecoder (constructed directly from the reference's own class
+        with the evidently-intended arguments) as image_decoder — working
+        around the dead construction path above."""
+        import torch.nn as nn
+        from tests.reference_shim import reference_module
+        ref_ms = reference_module("src.advanced.maxstyle")
+        ref, _, _, _ = build_pair("Unet_16_standard_no_STN")
+        runet = reference_module("src.models.segmentation_models.unet")
+        torch.manual_seed(3)
+        ref.model["image_decoder"] = runet.UnetDecoder(
+            n_classes=1, reduce_factor=4, norm=nn.BatchNorm2d,
+            up_type="Conv2", activation=nn.ReLU, last_act=nn.Sigmoid())
+        ref.network_type = self.NTYPE
+        ref.train()
+
+        cfg = ExperimentConfig(
+            data=DataConfig(crop_size=(HW, HW, 1), num_classes=NUM_CLASSES,
+                            intensity_norm_type="min_max"),
+            segmentation_model=SegmentationModelConfig(
+                network_type=self.NTYPE, num_classes=NUM_CLASSES),
+            learning=LearningConfig(lr=1e-4, batch_size=B,
+                                    optimizer_type="Adam",
+                                    compute_dtype="float32"),
+            max_style=MaxStyleConfig(n_iter=1,
+                                     decoder_layers_indexes=self.INDEXES),
+        )
+        solver = TripletSegmentationSolver(cfg, maxstyle_backend="jnp")
+        params, stats = import_reference_weights(ref, solver.spec)
+
+        x, _, y = fixed_batch(14)
+        z_i_t, _ = ref.encode_image(torch.from_numpy(x))
+        channels = [128, 64, 32, 16, 16, 1]
+        sa_dict, values = fixed_reference_styles(
+            ref_ms, B, channels, self.INDEXES)
+        return ref, solver, params, stats, x, y, z_i_t, sa_dict, values
+
+    def test_fixed_style_decode_parity(self):
+        (ref, solver, params, stats, x, y, z_i_t, sa_dict,
+         values) = self._setup()
+        recon_t = ref.model["image_decoder"].apply_max_style(
+            z_i_t, decoder_layers_indexes=list(self.INDEXES),
+            nn_style_augmentor_dict=sa_dict)
+
+        ms_cfg = MaxStyleConfig(n_iter=0, decoder_layers_indexes=self.INDEXES,
+                                p=1.0)
+        style_init = our_styles_from_values(values, ms_cfg)
+        (z_i, _), _ = solver.encode_image(params, stats, to_nhwc(x),
+                                          mode="frozen")
+        recon = solver.generate_max_style_image(
+            params, stats, z_i, reference_segmentation=jnp.asarray(y),
+            ms_cfg=ms_cfg, rng=jax.random.key(0), style_init=style_init)
+        np.testing.assert_allclose(
+            np.asarray(recon), np.transpose(from_ref(recon_t), (0, 2, 3, 1)),
+            rtol=5e-4, atol=5e-5)
+
+    def test_two_iter_loop_through_reference_generate(self):
+        import sys
+        (ref, solver, params, stats, x, y, z_i_t, sa_dict,
+         values) = self._setup()
+        atm = sys.modules[type(ref).__module__]
+        channels = [128, 64, 32, 16, 16, 1]
+        queue = [sa_dict[str(i)] for i in self.INDEXES]
+        orig_maxstyle = atm.MaxStyle
+        atm.MaxStyle = lambda *a, **kw: queue.pop(0)
+        try:
+            recon_t = ref.generate_max_style_image(
+                z_i_t, decoder_layers_indexes=list(self.INDEXES),
+                channel_num=channels, p=1.0, n_iter=2, lr=0.1,
+                reference_image=torch.from_numpy(x),
+                reference_segmentation=torch.from_numpy(y))
+        finally:
+            atm.MaxStyle = orig_maxstyle
+
+        ms_cfg = MaxStyleConfig(n_iter=2, lr=0.1, p=1.0,
+                                decoder_layers_indexes=self.INDEXES)
+        style_init = our_styles_from_values(values, ms_cfg)
+        (z_i, _), _ = solver.encode_image(params, stats, to_nhwc(x),
+                                          mode="frozen")
+        recon = solver.generate_max_style_image(
+            params, stats, z_i, reference_segmentation=jnp.asarray(y),
+            ms_cfg=ms_cfg, rng=jax.random.key(0), style_init=style_init)
+        # compounding-iteration conditioning envelope, as in the FCN 5-iter
+        # test (measured self-drift of the reference loop ~1e-2 at 5 steps)
+        np.testing.assert_allclose(
+            np.asarray(recon), np.transpose(from_ref(recon_t), (0, 2, 3, 1)),
+            rtol=1e-2, atol=5e-3)
