@@ -23,6 +23,7 @@ loss against the reference's own execution on identical batches:
   advanced_triplet…:245)
 * one COMPLETE training iteration: composed loss, backward, per-module
   Adam updates, post-step weights (train_adv…:158-541)
+* evaluate() -> runningScore scores end-to-end (:914-934)
 
 A builder transcription error in both our implementation and our older
 hand-written torch truths cannot pass here: the right-hand side is the
@@ -117,6 +118,15 @@ class TestStandardTraining:
         "FCN_16_standard",  # with STN: gt/pred shape-recon losses active
         "Unet_16_standard_no_STN",  # second model family: maxpool UNet
         "DS_FCN_16_standard",  # dual-domain BN (DomainSpecificEncoder)
+        # full grammar sweep (the reference's accepted list, :152-165)
+        "FCN_16_standard_w_image",        # STN input: seg + input image
+        "FCN_16_standard_w_recon_image",  # STN input: seg + recon image
+        "FCN_16_standard_w_dual_image",   # STN input: seg + both images
+        "FCN_16_standard_share_code",     # z_i = z_s after filter
+        "FCN_16_standard_w_o_filter",     # no code_decoupler
+        "FCN_16_standard_NN_decoder",     # NN-upsampling image decoder
+        "FCN_16_standard_no_STN_no_im_recon",  # seg-only
+        "FCN_64_standard_no_STN_identity",     # full-width + identity head
     ])
     def test_loss_parity(self, network_type):
         ref, solver, params, stats = build_pair(network_type)
@@ -780,3 +790,34 @@ class TestUnetMaxStyleDecode:
         np.testing.assert_allclose(
             np.asarray(recon), np.transpose(from_ref(recon_t), (0, 2, 3, 1)),
             rtol=1e-2, atol=5e-3)
+
+
+@needs_reference
+class TestEvaluate:
+    """evaluate() end-to-end (advanced_triplet…:914-934): test-mode predict
+    -> argmax -> runningScore confusion-matrix update -> scores, driven
+    through the reference's own evaluate + running_metric."""
+
+    def test_scores_parity(self):
+        ref, solver, params, stats = build_pair("FCN_16_standard_no_STN")
+        x, _, y = fixed_batch(17)
+        ref.evaluate(torch.from_numpy(x), y)
+        ref_scores, ref_cls_iou = ref.running_metric.get_scores()
+
+        from maxstyle_tpu.metrics import RunningScore
+        pred = solver.predict(params, stats, to_nhwc(x))
+        pred_lab = np.asarray(jnp.argmax(pred, axis=-1))
+        rs = RunningScore(NUM_CLASSES)
+        rs.update(y, pred_lab)
+        scores = rs.get_scores()
+        cls_iou = scores.pop("class_iou")
+
+        # identical predicted label maps first (integer-exact)
+        np.testing.assert_array_equal(pred_lab,
+                                      np.asarray(ref.cur_eval_predicts))
+        for k, v in ref_scores.items():
+            np.testing.assert_allclose(scores[k], v, rtol=1e-6, atol=1e-9,
+                                       err_msg=str(k))
+        for c in range(NUM_CLASSES):
+            np.testing.assert_allclose(cls_iou[c], ref_cls_iou[c],
+                                       rtol=1e-6, atol=1e-9)
