@@ -14,8 +14,8 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from maxstyle_tpu.models import layers
@@ -37,9 +37,30 @@ class ConvBNRelu(nn.Module):
         return nn.relu(x)
 
 
+def _align_corners_matrix(l_in: int, l_out: int) -> np.ndarray:
+    """Row-stochastic interpolation matrix reproducing torch
+    nn.Upsample(mode='bilinear', align_corners=True): output index i samples
+    source coordinate i*(l_in-1)/(l_out-1) (corner-aligned grid)."""
+    if l_in == 1:
+        return np.ones((l_out, 1), np.float32)
+    x = np.arange(l_out) * (l_in - 1) / (l_out - 1)
+    i0 = np.minimum(np.floor(x).astype(int), l_in - 2)
+    w = (x - i0).astype(np.float32)
+    m = np.zeros((l_out, l_in), np.float32)
+    m[np.arange(l_out), i0] = 1.0 - w
+    m[np.arange(l_out), i0 + 1] += w
+    return m
+
+
 def _upsample(x, factor: int):
+    """Bilinear x{factor} with align_corners=True (fcn.py:56-59 uses
+    nn.Upsample(..., align_corners=True)), expressed as two compile-time
+    constant interpolation matmuls — exact torch parity, and separable
+    matmuls map onto the MXU instead of a gather-based resize."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h * factor, w * factor, c), method="linear")
+    mh = jnp.asarray(_align_corners_matrix(h, h * factor), x.dtype)
+    mw = jnp.asarray(_align_corners_matrix(w, w * factor), x.dtype)
+    return jnp.einsum("Hh,nhwc,Ww->nHWc", mh, x, mw)
 
 
 class FCN(nn.Module):

@@ -45,10 +45,10 @@ class UnetConv3(nn.Module):
                         kernel_init=layers.kaiming_normal_fan_in,
                         name=f"conv{i + 1}")(x)
             if self.norm == "batch":
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5,
-                                 scale_init=layers.bn_scale_init,
-                                 name=f"norm{i + 1}")(x)
+                x = layers.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     scale_init=layers.bn_scale_init,
+                                     name=f"norm{i + 1}")(x)
             x = nn.relu(x)
         return x
 

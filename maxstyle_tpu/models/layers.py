@@ -53,6 +53,62 @@ def lrelu(x):
     return nn.leaky_relu(x, negative_slope=LRELU_SLOPE)
 
 
+class BatchNorm(nn.Module):
+    """BatchNorm with torch.nn.BatchNorm2d running-stat semantics.
+
+    flax's nn.BatchNorm stores the BIASED batch variance in its running
+    average; torch stores the Bessel-corrected (unbiased, n/(n-1)) one
+    (torch.nn.BatchNorm2d docs; verified against the reference's own
+    executable models in tests/test_reference_base_solver_parity.py). The
+    correction is ~1.6% per update on a 4x4 deep feature map, so eval-mode
+    behavior measurably drifts without it. Normalization itself uses the
+    biased batch variance (both frameworks agree there). Stats are computed
+    two-pass in float32 — mean((x-mean)^2) rather than E[x^2]-E[x]^2 — which
+    also avoids the cancellation noise of the fast path under bf16/f32.
+
+    The class name keeps flax's auto-naming ('BatchNorm_0') and the
+    param/stat layout ({scale,bias}/{mean,var}) so converted reference
+    checkpoints and existing orbax snapshots load unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = (self.param("scale", self.scale_init, (feat,), jnp.float32)
+                 if self.use_scale else jnp.ones((feat,), jnp.float32))
+        bias = (self.param("bias", nn.initializers.zeros, (feat,),
+                           jnp.float32)
+                if self.use_bias else jnp.zeros((feat,), jnp.float32))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf - mean), axis=red)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * var * (n / max(n - 1, 1)))
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class Norm2d(nn.Module):
     """Norm selector: 'batch' (affine BN) or 'instance' (no affine, like
     torch nn.InstanceNorm2d defaults) or 'none'."""
@@ -63,9 +119,9 @@ class Norm2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.kind == "batch":
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, scale_init=bn_scale_init,
-                                dtype=self.dtype)(x)
+            return BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, scale_init=bn_scale_init,
+                             dtype=self.dtype)(x)
         if self.kind == "instance":
             xf = x.astype(jnp.float32)  # stats in f32 for half-precision inputs
             mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
@@ -90,9 +146,9 @@ class DomainSpecificNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, domain_id: int = 0, train: bool = True):
-        norms = [nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              epsilon=1e-5, scale_init=bn_scale_init,
-                              dtype=self.dtype, name=f"bn_domain{d}")
+        norms = [BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, scale_init=bn_scale_init,
+                           dtype=self.dtype, name=f"bn_domain{d}")
                  for d in range(self.num_domains)]
         if self.is_initializing():
             # materialize params/stats for every domain, not just the selected one
@@ -460,8 +516,8 @@ class AdaptiveBatchNorm2d(nn.Module):
     def __call__(self, x, train: bool = True):
         a = self.param("a", jax.nn.initializers.ones, (1,))
         b = self.param("b", jax.nn.initializers.zeros, (1,))
-        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, scale_init=bn_scale_init)(x)
+        bn = BatchNorm(use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, scale_init=bn_scale_init)(x)
         return a * bn + b * x
 
 
@@ -472,8 +528,8 @@ class AdaptiveBatchInstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         c = x.shape[-1]
-        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, use_bias=False, use_scale=False)(x)
+        bn = BatchNorm(use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, use_bias=False, use_scale=False)(x)
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         inorm = (x - mean) / jnp.sqrt(var + 1e-5)

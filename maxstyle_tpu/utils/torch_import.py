@@ -244,6 +244,33 @@ def convert_unet_decoder(sd, up_type: str = "bilinear") -> Tuple[dict, dict]:
     return params, stats
 
 
+_FCN_MODULE_ORDER = (
+    "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+    "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+    "conv5_3", "level_1_out", "level_2_out", "level_3_out", "level_4_out",
+    "level_5_out", "aggregate_layers", "conv_final")
+
+
+def convert_fcn(sd) -> Tuple[dict, dict]:
+    """Bai-style FCN (segmentation_models/fcn.py:13-113, the base solver's
+    'FCN_16'/'FCN_64' zoo entry). Each named conv2DBatchNormRelu maps to our
+    auto-numbered ConvBNRelu_{i} in call-construction order; conv1_1/conv1_2
+    swap indices because the compact expression `outer(inner(x))`
+    (baselines.py FCN.__call__ first line) registers the OUTER module
+    before the inner one."""
+    idx = {name: i for i, name in enumerate(_FCN_MODULE_ORDER)}
+    idx["conv1_1"], idx["conv1_2"] = 1, 0
+    params: Dict = {}
+    stats: Dict = {}
+    for name, i in idx.items():
+        norm_p, norm_s = _norm2d(sd, f"{name}.cbr_unit.1")
+        params[f"ConvBNRelu_{i}"] = {"Conv_0": _conv(sd, f"{name}.cbr_unit.0"),
+                                     "Norm2d_0": norm_p}
+        stats[f"ConvBNRelu_{i}"] = {"Norm2d_0": norm_s}
+    params["outS"] = _conv(sd, "outS")
+    return params, stats
+
+
 def load_torch_state_dict(path: str) -> dict:
     import torch
     sd = torch.load(path, map_location="cpu")
