@@ -63,8 +63,12 @@ class BatchNorm(nn.Module):
     correction is ~1.6% per update on a 4x4 deep feature map, so eval-mode
     behavior measurably drifts without it. Normalization itself uses the
     biased batch variance (both frameworks agree there). Stats are computed
-    two-pass in float32 — mean((x-mean)^2) rather than E[x^2]-E[x]^2 — which
-    also avoids the cancellation noise of the fast path under bf16/f32.
+    single-pass in float32 — E[x^2]-mean^2, clamped at 0 — so the input is
+    read from HBM once (the two-pass mean((x-mean)^2) form cost a measured
+    2.5% of train-step throughput in round 3, docs/VALIDATION.md). With the
+    reduction in f32 over bf16/f32 activations in ~[-10, 10], cancellation
+    error stays ~1e-6 relative — far inside the 5e-4 torch-parity gates
+    (tests/test_torch_import.py, test_reference_executable_parity.py).
 
     The class name keeps flax's auto-naming ('BatchNorm_0') and the
     param/stat layout ({scale,bias}/{mean,var}) so converted reference
@@ -97,7 +101,8 @@ class BatchNorm(nn.Module):
         else:
             red = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=red)
-            var = jnp.mean(jnp.square(xf - mean), axis=red)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = x.size // feat
                 m = self.momentum
@@ -110,8 +115,11 @@ class BatchNorm(nn.Module):
 
 
 class Norm2d(nn.Module):
-    """Norm selector: 'batch' (affine BN) or 'instance' (no affine, like
-    torch nn.InstanceNorm2d defaults) or 'none'."""
+    """Norm selector: 'batch' (affine BN), 'instance' (no affine, like torch
+    nn.InstanceNorm2d defaults), 'instance_affine' (torch InstanceNorm2d
+    affine=True — the model_util.replace_bn_with_in:43-62 swap target),
+    'batch_instance' / 'batch_instance_noaffine' (the BN_IN=True swap
+    target, custom_layers.BatchInstanceNorm2d), or 'none'."""
 
     kind: str = "batch"
     dtype: Any = None  # compute/output dtype; params + running stats stay f32
@@ -122,12 +130,24 @@ class Norm2d(nn.Module):
             return BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, scale_init=bn_scale_init,
                              dtype=self.dtype)(x)
-        if self.kind == "instance":
+        if self.kind in ("instance", "instance_affine"):
             xf = x.astype(jnp.float32)  # stats in f32 for half-precision inputs
             mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
             var = jnp.var(xf, axis=(1, 2), keepdims=True)
             out = (xf - mean) / jnp.sqrt(var + 1e-5)
+            if self.kind == "instance_affine":
+                c = x.shape[-1]
+                scale = self.param("scale", nn.initializers.ones, (c,),
+                                   jnp.float32)
+                bias = self.param("bias", nn.initializers.zeros, (c,),
+                                  jnp.float32)
+                out = out * scale + bias
             return out.astype(self.dtype or x.dtype)
+        if self.kind in ("batch_instance", "batch_instance_noaffine"):
+            affine = self.kind == "batch_instance"
+            return BatchInstanceNorm(
+                affine=affine, track_running_stats=affine,
+                dtype=self.dtype)(x, train=train)
         if self.kind == "none":
             return x
         raise ValueError(self.kind)
@@ -537,3 +557,95 @@ class AdaptiveBatchInstanceNorm(nn.Module):
         gamma = self.param("gamma", jax.nn.initializers.ones, (c,))
         beta = self.param("beta", jax.nn.initializers.zeros, (c,))
         return (rho * bn + (1.0 - rho) * inorm) * gamma + beta
+
+
+class BatchInstanceNorm(nn.Module):
+    """Batch-Instance Normalization (Nam & Kim, NeurIPS 2018) with the
+    reference's exact gating semantics (custom_layers._BatchInstanceNorm:
+    331-372): out = BN(x)·(w·g) + b + IN(x)·(w·(1-g)), gate g clamped to
+    [0,1] per use, init 1 (pure BN). Dim-generic over channels-last inputs —
+    (N,L,C) / (N,H,W,C) / (N,D,H,W,C) — so the reference's three classes
+    BatchInstanceNorm{1,2,3}d (custom_layers.py:374-388) collapse to one
+    module plus ndim-checking aliases below.
+
+    torch-parity notes: the BN branch updates running stats with the
+    Bessel-corrected batch variance (like our `BatchNorm`); with
+    ``track_running_stats=False`` both train and eval use batch stats
+    (torch F.batch_norm with None running buffers). The IN branch always
+    uses per-sample biased stats. The reference CRASHES when constructed
+    with ``affine=False`` (custom_layers.py:340 assigns gate=None then :343
+    does ``self.gate.data.fill_(1)`` — AttributeError); we keep the gate a
+    real parameter in that case so the documented API works.
+    """
+
+    affine: bool = True
+    track_running_stats: bool = True
+    momentum: float = 0.9  # flax convention; == torch momentum 0.1
+    epsilon: float = 1e-5
+    expected_ndim: Optional[int] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.expected_ndim is not None and x.ndim != self.expected_ndim:
+            raise ValueError(
+                f"expected {self.expected_ndim}D channels-last input "
+                f"(got {x.ndim}D)")
+        if x.ndim < 3:
+            raise ValueError("BatchInstanceNorm needs spatial dims "
+                             f"(got {x.ndim}D input)")
+        c = x.shape[-1]
+        gate = jnp.clip(
+            self.param("gate", nn.initializers.ones, (c,), jnp.float32), 0, 1)
+        if self.affine:
+            w = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        else:
+            w, b = jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        red_bn = tuple(range(x.ndim - 1))
+        if self.track_running_stats:
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
+        if train or not self.track_running_stats:
+            mean = jnp.mean(xf, axis=red_bn)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=red_bn) - jnp.square(mean), 0.0)
+            if (train and self.track_running_stats
+                    and not self.is_initializing()):
+                n = x.size // c
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * var * (n / max(n - 1, 1)))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        bn = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+        red_in = tuple(range(1, x.ndim - 1))
+        m_in = jnp.mean(xf, axis=red_in, keepdims=True)
+        v_in = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=red_in, keepdims=True)
+            - jnp.square(m_in), 0.0)
+        inn = (xf - m_in) * jax.lax.rsqrt(v_in + self.epsilon)
+
+        out = bn * (w * gate) + b + inn * (w * (1.0 - gate))
+        return out.astype(self.dtype or x.dtype)
+
+
+class BatchInstanceNorm1d(BatchInstanceNorm):
+    """(N, L, C) — custom_layers.BatchInstanceNorm1d:374-377."""
+    expected_ndim: Optional[int] = 3
+
+
+class BatchInstanceNorm2d(BatchInstanceNorm):
+    """(N, H, W, C) — custom_layers.BatchInstanceNorm2d:380-382."""
+    expected_ndim: Optional[int] = 4
+
+
+class BatchInstanceNorm3d(BatchInstanceNorm):
+    """(N, D, H, W, C) — custom_layers.BatchInstanceNorm3d:385-388."""
+    expected_ndim: Optional[int] = 5
