@@ -27,13 +27,32 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+def _ensure_backend() -> None:
+    """Block until the TPU tunnel answers, before this process touches jax.
+
+    Round 3's official bench artifact was a crash at backend init
+    (`Unable to initialize backend 'axon': UNAVAILABLE`); round 4 observed
+    the tunnel *hanging* inside `jax.devices()` with no exception. Both are
+    handled by `utils/backend.wait_for_backend`: bounded subprocess probes
+    (120 s each) with 60/120 s backoff, ~9.5 min worst case, then a clear
+    RuntimeError. On probe success the parent initializes against a
+    known-healthy tunnel. Stdout stays reserved for the JSON result line —
+    all diagnostics go to stderr."""
+    from maxstyle_tpu.utils.backend import wait_for_backend
+    wait_for_backend(tag="bench")
+    print(f"[bench] backend={jax.default_backend()} "
+          f"devices={len(jax.devices())}", file=sys.stderr)
+
+
 def main():
+    _ensure_backend()
     from __graft_entry__ import _flagship_solver
     from maxstyle_tpu.data import augment as A
     from maxstyle_tpu.train_step import make_multi_step

@@ -446,7 +446,8 @@ def augment_batch_inner(key: jax.Array, images: jnp.ndarray,
     keys = jax.random.split(key, images.shape[0])
     if warp_backend == "pallas":
         sy, sx = jax.vmap(lambda k: _aug_coords(k, policy))(keys)
-        interpret = jax.default_backend() in ("cpu", "gpu")
+        from maxstyle_tpu.utils.backend import default_backend
+        interpret = default_backend() in ("cpu", "gpu")
         img, lab = warp_pallas.warp_bilinear_nearest(
             images, labels, sy, sx, policy.crop_hw, interpret=interpret)
         img = jax.vmap(lambda k, i: _post_warp_intensity(k, i, policy))(

@@ -39,7 +39,8 @@ from maxstyle_tpu.ops.maxstyle import MaxStyleParams, MaxStyleState, _batch_std
 
 def _interpret() -> bool:
     """Pallas compiles natively on TPU; interpret elsewhere (CPU tests)."""
-    return jax.default_backend() != "tpu"
+    from maxstyle_tpu.utils.backend import default_backend
+    return default_backend() != "tpu"
 
 
 def _stats_kernel(x_ref, out_ref):

@@ -175,4 +175,5 @@ def warp_bilinear_nearest(images: jnp.ndarray, labels: jnp.ndarray,
 
 def warp_backend_default() -> str:
     """'pallas' on real TPU, 'gather' elsewhere (the jnp reference path)."""
-    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "gather"
+    from maxstyle_tpu.utils.backend import default_backend
+    return "pallas" if default_backend() not in ("cpu", "gpu") else "gather"

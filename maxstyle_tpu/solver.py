@@ -120,7 +120,10 @@ class TripletSegmentationSolver:
         TPU, jnp elsewhere)."""
         self.config = config
         self.image_ch = image_ch
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        # tolerant probe: a transient tunnel-init failure must not kill the
+        # constructor (it only picks defaults here; see utils/backend.py)
+        from .utils.backend import on_tpu as _on_tpu
+        on_tpu = _on_tpu()
         if maxstyle_backend == "auto":
             maxstyle_backend = "pallas" if on_tpu else "jnp"
         self.maxstyle_backend = maxstyle_backend
