@@ -80,6 +80,68 @@ class TestDataParallelStep:
                                    rtol=2e-4)
 
 
+class TestShardedLifecycle:
+    """Full product loop under one sharded state (VERDICT r3 #5): train N
+    steps on the mesh -> orbax save -> restore -> sharded volumetric eval ->
+    resume training. Mirrors the reference's train->save_model->
+    TestSegmentationNetwork flow (train_adv…:92-584 + :893-959)."""
+
+    @pytest.mark.slow
+    def test_train_save_restore_eval_resume(self, eight_devices, tmp_path):
+        from maxstyle_tpu.evaluate import TestSegmentationNetwork
+        from maxstyle_tpu.utils import checkpoint as ckpt
+
+        cfg = small_config(max_style=True)
+        solver = TripletSegmentationSolver(cfg)
+        m = pmesh.make_mesh(8)
+        state = solver.init_state(jax.random.key(0), (32, 32), batch_size=16)
+        state = pmesh.replicate(state, m)
+        step = pmesh.shard_train_step(
+            make_train_step(solver, jit_compile=False), m, donate_state=False)
+        batch = pmesh.shard_batch({
+            "image": jnp.clip(jax.random.normal(jax.random.key(1),
+                                                (16, 32, 32, 1)), 0, 1),
+            "label": jax.random.randint(jax.random.key(2), (16, 32, 32),
+                                        0, 4)}, m)
+        for i in range(3):
+            state, metrics = step(state, batch,
+                                  pmesh.replicate(jax.random.key(10 + i), m))
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+
+        path = ckpt.save_checkpoint(str(tmp_path), "best", state, epoch=3,
+                                    best_score=0.42)
+        template = solver.init_state(jax.random.key(0), (32, 32),
+                                     batch_size=16)
+        restored, meta = ckpt.load_checkpoint(str(tmp_path), "best", template)
+        assert meta == {"epoch": 3, "best_score": 0.42, "network_type": ""}
+        restored = pmesh.replicate(restored, m)
+        # bit-exact round trip of every leaf (params/stats/opt/step)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            state, restored)
+
+        class _DS:
+            patient_ids = []
+
+        h = TestSegmentationNetwork(solver, restored, _DS(),
+                                    maximum_batch_size=6, crop_hw=(32, 32),
+                                    mesh=m)
+        vol = np.random.RandomState(0).rand(10, 32, 32).astype(np.float32)
+        pred = h.predict_volume(vol)
+        assert pred.shape == (10, 32, 32)
+        h_single = TestSegmentationNetwork(
+            solver, jax.device_get(state), _DS(), maximum_batch_size=6,
+            crop_hw=(32, 32))
+        np.testing.assert_array_equal(pred, h_single.predict_volume(vol))
+
+        # training resumes from the restored optimizer state
+        resumed, rmetrics = step(restored, batch,
+                                 pmesh.replicate(jax.random.key(13), m))
+        assert all(np.isfinite(float(v)) for v in rmetrics.values())
+        assert int(np.asarray(resumed.step)) == int(np.asarray(state.step)) + 1
+
+
 class TestGraftEntry:
     @pytest.mark.slow
     def test_dryrun_multichip(self, eight_devices):
