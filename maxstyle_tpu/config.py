@@ -149,6 +149,20 @@ class MaxStyleConfig:
     p: float = 0.5
     alpha: float = 0.1
     eps: float = 1e-6
+    # Style-stat group size for large-batch training. The reference tunes
+    # MaxStyle at effective batch 20 (train_adv…:46-77); its style mixing
+    # partner and stat spreads are batch-level, so scaling the batch changes
+    # the method's semantics. With style_group_size=G, the permutation is
+    # drawn within disjoint G-sample groups and gamma/beta spreads are
+    # per-group — a B=80/G=20 batch behaves like 4 independent reference
+    # batches (one shared Bernoulli gate per step is the only deviation).
+    # None (default) = batch-level, the reference behavior.
+    style_group_size: Optional[int] = None
+    # XLA unroll factor for the n_iter inner adversarial scan (semantics
+    # unchanged — the loop stays sequential through the Adam state; unroll
+    # only lets XLA schedule/fuse across iteration bodies). Measured A/B in
+    # docs/VALIDATION.md (scripts/exp_inner_unroll.py).
+    inner_unroll: int = 1
 
     @classmethod
     def from_dict(cls, d: dict) -> "MaxStyleConfig":
@@ -163,6 +177,8 @@ class MaxStyleConfig:
             loss_types=_tup(_get(d, "loss_types", ("seg",))),
             loss_weights=_tup(_get(d, "loss_weights", (1.0,))),
             always_use_beta=_get(d, "always_use_beta", False),
+            style_group_size=_get(d, "style_group_size", None),
+            inner_unroll=_get(d, "inner_unroll", 1),
         )
 
 

@@ -60,7 +60,17 @@ def init_maxstyle(key: jax.Array, batch_size: int, num_features: int,
     reference's non-learnable zero-noise path).
     """
     k_perm, k_gate, k_lmda, k_gn, k_bn = jax.random.split(key, 5)
-    perm = prng.non_identity_permutation(k_perm, batch_size)
+    g = _group_size(cfg, batch_size)
+    if g == batch_size:
+        perm = prng.non_identity_permutation(k_perm, batch_size)
+    else:
+        # block-diagonal permutation: style partners stay inside each
+        # G-sample group, so a scaled batch keeps the reference's tuned
+        # batch-20 mixing semantics (style_group_size, config.py)
+        n_groups = batch_size // g
+        sub = jax.vmap(lambda k: prng.non_identity_permutation(k, g))(
+            jax.random.split(k_perm, n_groups))
+        perm = (sub + jnp.arange(n_groups)[:, None] * g).reshape(batch_size)
     gate = (jax.random.uniform(k_gate) < cfg.p).astype(jnp.float32)
 
     if cfg.mix_style:
@@ -78,7 +88,8 @@ def init_maxstyle(key: jax.Array, batch_size: int, num_features: int,
         gamma_noise = jnp.zeros((batch_size, 1, 1, num_features))
         beta_noise = jnp.zeros((batch_size, 1, 1, num_features))
 
-    nan_c = jnp.full((1, 1, 1, num_features), jnp.nan)
+    nan_c = jnp.full((1 if g == batch_size else batch_size, 1, 1,
+                      num_features), jnp.nan)
     return (MaxStyleParams(lmda=lmda, gamma_noise=gamma_noise, beta_noise=beta_noise),
             MaxStyleState(perm=perm, gate=gate, gamma_std=nan_c, beta_std=nan_c))
 
@@ -110,6 +121,32 @@ def _batch_std(v: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.stop_gradient(jnp.sqrt(var))
 
 
+def _group_size(cfg, batch_size: int) -> int:
+    """Effective style group (config.MaxStyleConfig.style_group_size):
+    the whole batch unless a smaller divisor is configured."""
+    g = getattr(cfg, "style_group_size", None)
+    if g is None or g >= batch_size:
+        return batch_size
+    if batch_size % g:
+        raise ValueError(
+            f"style_group_size={g} must divide the style batch "
+            f"({batch_size}) — pad or change the batch")
+    return g
+
+
+def _group_std(v: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Per-group unbiased std over the batch axis, broadcast back to rows:
+    [B,1,1,C] -> [1,1,1,C] when g == B (== _batch_std), else [B,1,1,C]
+    where each row carries its own group's spread."""
+    b, _, _, c = v.shape
+    if g == b:
+        return _batch_std(v)
+    vg = v.reshape(b // g, g, c)
+    var = jnp.var(vg, axis=1, keepdims=True) * (g / max(g - 1, 1))
+    std = jnp.broadcast_to(jnp.sqrt(var), vg.shape)
+    return jax.lax.stop_gradient(std.reshape(b, 1, 1, c))
+
+
 def apply_maxstyle(x: jnp.ndarray, params: MaxStyleParams, state: MaxStyleState,
                    cfg: MaxStyleConfig) -> Tuple[jnp.ndarray, MaxStyleState]:
     """Forward pass (maxstyle.py:140-189). Returns (out, state') where state'
@@ -127,8 +164,11 @@ def apply_maxstyle(x: jnp.ndarray, params: MaxStyleParams, state: MaxStyleState,
     mu, sig = instance_stats(x, cfg.eps)
     x_normed = (x - mu) / sig
 
-    gamma_std = jnp.where(jnp.isnan(state.gamma_std), _batch_std(sig), state.gamma_std)
-    beta_std = jnp.where(jnp.isnan(state.beta_std), _batch_std(mu), state.beta_std)
+    g = _group_size(cfg, b)
+    gamma_std = jnp.where(jnp.isnan(state.gamma_std), _group_std(sig, g),
+                          state.gamma_std)
+    beta_std = jnp.where(jnp.isnan(state.beta_std), _group_std(mu, g),
+                         state.beta_std)
     new_state = state.replace(gamma_std=gamma_std, beta_std=beta_std)
 
     if cfg.mix_style:

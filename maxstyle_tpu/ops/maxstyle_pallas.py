@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from maxstyle_tpu.config import MaxStyleConfig
-from maxstyle_tpu.ops.maxstyle import MaxStyleParams, MaxStyleState, _batch_std
+from maxstyle_tpu.ops.maxstyle import (MaxStyleParams, MaxStyleState,
+                                       _group_size, _group_std)
 
 
 def _interpret() -> bool:
@@ -268,20 +269,23 @@ def apply_maxstyle_pallas(x: jnp.ndarray, params: MaxStyleParams,
     var = jnp.maximum(sq / hw - mu * mu, 0.0) * (hw / max(hw - 1, 1))
     sig = jnp.sqrt(var + cfg.eps)
 
-    gamma_std = jnp.where(jnp.isnan(state.gamma_std[0, 0, 0]),
-                          _batch_std(sig[:, None, None, :])[0, 0, 0],
-                          state.gamma_std[0, 0, 0])
-    beta_std = jnp.where(jnp.isnan(state.beta_std[0, 0, 0]),
-                         _batch_std(mu[:, None, None, :])[0, 0, 0],
-                         state.beta_std[0, 0, 0])
-    new_state = state.replace(gamma_std=gamma_std[None, None, None, :],
-                              beta_std=beta_std[None, None, None, :])
+    # spreads are [1,C] batch-level or [B,C] per-group (style_group_size);
+    # _coefficients broadcasts either against the [B,C] stats
+    g = _group_size(cfg, b)
+    gamma_std = jnp.where(jnp.isnan(state.gamma_std[:, 0, 0, :]),
+                          _group_std(sig[:, None, None, :], g)[:, 0, 0, :],
+                          state.gamma_std[:, 0, 0, :])
+    beta_std = jnp.where(jnp.isnan(state.beta_std[:, 0, 0, :]),
+                         _group_std(mu[:, None, None, :], g)[:, 0, 0, :],
+                         state.beta_std[:, 0, 0, :])
+    new_state = state.replace(gamma_std=gamma_std[:, None, None, :],
+                              beta_std=beta_std[:, None, None, :])
 
     out2d = _fused_core(cfg, x2d,
                         params.lmda[:, 0, 0, :],        # [B,1]
                         params.gamma_noise[:, 0, 0, :],  # [B,C]
                         params.beta_noise[:, 0, 0, :],
                         mu, sig, mu[state.perm], sig[state.perm],
-                        gamma_std[None, :], beta_std[None, :],
+                        gamma_std, beta_std,
                         jnp.reshape(state.gate, (1, 1)))
     return out2d.reshape(b, h, w, c), new_state

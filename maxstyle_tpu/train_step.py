@@ -149,6 +149,23 @@ def make_train_step(solver: TripletSegmentationSolver, jit_compile: bool = True)
     return step
 
 
+def interleave_style_groups(aug, orig, group_size: int):
+    """Reorder the (aug, orig) pair concat into consecutive style groups of
+    ``group_size``, each [G/2 aug | G/2 orig] — the reference's effective
+    batch-20 composition (10 augmented + 10 original,
+    train_adv…:46-77 with keep_orig_image_label_pair) replicated per group
+    so a scaled batch keeps MaxStyle's tuned mixing semantics
+    (config.MaxStyleConfig.style_group_size). Downstream losses/BN are
+    order-invariant; only the style ops' block permutation + per-group
+    spreads are order-sensitive, which is exactly what this layout feeds."""
+    half, hg = aug.shape[0], group_size // 2
+    n = half // hg
+    a = aug.reshape((n, hg) + aug.shape[1:])
+    o = orig.reshape((n, hg) + orig.shape[1:])
+    return jnp.concatenate([a, o], axis=1).reshape((2 * half,)
+                                                   + aug.shape[1:])
+
+
 def make_fused_train_step(solver: TripletSegmentationSolver, aug_policy,
                           keep_orig: bool, jit_compile: bool = True,
                           mesh=None):
@@ -179,8 +196,19 @@ def make_fused_train_step(solver: TripletSegmentationSolver, aug_policy,
         if keep_orig:
             oi, ol = jax.vmap(lambda i, l: A.center_crop_norm(i, l, crop_hw))(
                 raw["image"].astype(jnp.float32), raw["label"])
-            batch = {"image": jnp.concatenate([batch["image"], oi[..., None]], 0),
-                     "label": jnp.concatenate([batch["label"], ol], 0)}
+            half = img.shape[0]
+            g = (solver.config.max_style.style_group_size
+                 if solver.config.learning.max_style else None)
+            if (g and 2 * half > g and g % 2 == 0
+                    and half % (g // 2) == 0):
+                batch = {"image": interleave_style_groups(
+                             batch["image"], oi[..., None], g),
+                         "label": interleave_style_groups(
+                             batch["label"], ol, g)}
+            else:
+                batch = {"image": jnp.concatenate([batch["image"],
+                                                   oi[..., None]], 0),
+                         "label": jnp.concatenate([batch["label"], ol], 0)}
         return base_step(state, batch, k_step)
 
     if jit_compile:

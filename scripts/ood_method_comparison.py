@@ -17,10 +17,19 @@ flag differs. Expected (paper claim): IID Dice comparable, OOD Dice higher
 for max_style. Numbers land in docs/VALIDATION.md.
 
 Usage: python scripts/ood_method_comparison.py [--steps 600]
-       [--methods standard,max_style,rand_conv]
+       [--methods standard,max_style,rand_conv] [--seeds 0,1,2]
+       [--batch 10] [--style_group_size 10] [--out results.jsonl]
+
+`--seeds` runs every method at each seed and reports mean+/-std per cell
+(the paper's claim is an ordering; one seed at this scale is fragile).
+`--out` appends one JSON line per (method, seed) as it lands, and on
+restart already-recorded cells are skipped — a tunnel flake mid-sweep
+costs only the in-flight arm.
 """
 
 import argparse
+import json
+import os
 import sys
 import time
 
@@ -62,19 +71,19 @@ def corrupt(kind: str, imgs: np.ndarray, rng: np.random.RandomState):
     return ((out - mn) / (mx - mn + 1e-8)).astype(np.float32)[..., None]
 
 
-def make_config(method: str, hw: int, batch: int):
+def make_config(method: str, hw: int, batch: int, style_group_size=None):
     kw = {} if method == "standard" else {method: True}
     return ExperimentConfig(
         data=DataConfig(crop_size=(hw, hw, 1), num_classes=4),
         segmentation_model=SegmentationModelConfig(
             network_type="FCN_16_standard_no_STN"),
         learning=LearningConfig(batch_size=batch, n_epochs=1, **kw),
-        max_style=MaxStyleConfig())
+        max_style=MaxStyleConfig(style_group_size=style_group_size))
 
 
 def train_and_eval(method: str, steps: int, hw: int, batch: int, seed: int,
-                   domains):
-    cfg = make_config(method, hw, batch)
+                   domains, style_group_size=None):
+    cfg = make_config(method, hw, batch, style_group_size)
     solver = TripletSegmentationSolver(cfg)
     state = solver.init_state(jax.random.key(seed), (hw, hw),
                               batch_size=batch)
@@ -119,31 +128,82 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--hw", type=int, default=192)
     ap.add_argument("--batch", type=int, default=10)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="single seed (ignored when --seeds is given)")
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma list, e.g. 0,1,2 — mean+/-std table")
+    ap.add_argument("--style_group_size", type=int, default=None,
+                    help="MaxStyle stat-group size for scaled batches "
+                         "(config.MaxStyleConfig.style_group_size)")
+    ap.add_argument("--out", type=str, default=None,
+                    help="JSONL checkpoint: append one line per "
+                         "(method, seed); skip cells already present")
     ap.add_argument("--methods", type=str,
                     default="standard,max_style")
     opt = ap.parse_args(argv)
     domains = ["iid", "gamma", "bias", "ghosting", "spike"]
+    seeds = ([int(s) for s in opt.seeds.split(",")] if opt.seeds
+             else [opt.seed])
+    methods = opt.methods.split(",")
+
+    done = {}
+    if opt.out and os.path.exists(opt.out):
+        with open(opt.out) as f:
+            for line in f:
+                rec = json.loads(line)
+                if (rec.get("steps") == opt.steps
+                        and rec.get("batch") == opt.batch
+                        and rec.get("style_group_size")
+                        == opt.style_group_size):
+                    done[(rec["method"], rec["seed"])] = rec["dice"]
 
     print(f"devices: {jax.devices()}")
-    table = {}
-    for method in opt.methods.split(","):
-        print(f"== training {method} ({opt.steps} steps)", flush=True)
-        res, loss, secs = train_and_eval(method, opt.steps, opt.hw,
-                                         opt.batch, opt.seed, domains)
-        table[method] = res
-        row = "  ".join(f"{k}={v:.4f}" for k, v in res.items())
-        print(f"  {method}: {row}  (final loss {loss:.3f}, {secs:.0f}s)",
-              flush=True)
+    table = {}  # method -> seed -> {domain: dice}
+    for method in methods:
+        table[method] = {}
+        for seed in seeds:
+            if (method, seed) in done:
+                table[method][seed] = done[(method, seed)]
+                print(f"== {method} seed {seed}: cached from {opt.out}",
+                      flush=True)
+                continue
+            print(f"== training {method} seed {seed} ({opt.steps} steps, "
+                  f"batch {opt.batch}, group {opt.style_group_size})",
+                  flush=True)
+            res, loss, secs = train_and_eval(
+                method, opt.steps, opt.hw, opt.batch, seed, domains,
+                opt.style_group_size)
+            table[method][seed] = res
+            row = "  ".join(f"{k}={v:.4f}" for k, v in res.items())
+            print(f"  {method} s{seed}: {row}  (final loss {loss:.3f}, "
+                  f"{secs:.0f}s)", flush=True)
+            if opt.out:
+                with open(opt.out, "a") as f:
+                    f.write(json.dumps({
+                        "method": method, "seed": seed, "steps": opt.steps,
+                        "batch": opt.batch,
+                        "style_group_size": opt.style_group_size,
+                        "dice": res, "final_loss": loss,
+                        "train_s": secs}) + "\n")
 
-    print("\nOOD Dice summary (mean over foreground classes):")
-    hdr = "method".ljust(12) + "".join(d.rjust(10) for d in domains) + "   OOD avg"
+    print("\nOOD Dice summary (mean over foreground classes"
+          + (f", mean+/-std over seeds {seeds}" if len(seeds) > 1 else "")
+          + "):")
+    hdr = ("method".ljust(14)
+           + "".join(d.rjust(16) for d in domains) + "         OOD avg")
     print(hdr)
-    for method, res in table.items():
-        ood = float(np.mean([res[d] for d in domains if d != "iid"]))
-        print(method.ljust(12)
-              + "".join(f"{res[d]:.4f}".rjust(10) for d in domains)
-              + f"   {ood:.4f}")
+    for method, per_seed in table.items():
+        cells = []
+        for d in domains:
+            vals = [per_seed[s][d] for s in seeds]
+            cells.append(f"{np.mean(vals):.3f}+/-{np.std(vals):.3f}"
+                         if len(seeds) > 1 else f"{np.mean(vals):.4f}")
+        ood_per_seed = [np.mean([per_seed[s][d] for d in domains
+                                 if d != "iid"]) for s in seeds]
+        ood = (f"{np.mean(ood_per_seed):.3f}+/-{np.std(ood_per_seed):.3f}"
+               if len(seeds) > 1 else f"{np.mean(ood_per_seed):.4f}")
+        print(method.ljust(14) + "".join(c.rjust(16) for c in cells)
+              + ood.rjust(17))
 
 
 if __name__ == "__main__":

@@ -220,3 +220,99 @@ class TestMixStyle:
         cfg = MixStyleConfig(mix="random", p=0.0)
         out = apply_mixstyle(jax.random.key(1), x, cfg)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+class TestGroupedStyleStats:
+    """style_group_size (config.py): a B=N*G batch must behave like N
+    independent reference batches of G — block permutation, per-group stat
+    spreads — so large-batch throughput scaling keeps the method's tuned
+    batch-20 semantics (scripts/bench_scaling.py production recipe)."""
+
+    def _grouped_equals_independent(self, apply_fn):
+        b, g, c = 8, 4, 3
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(b, 6, 6, c).astype(np.float32) * 2 + 1)
+        cfg_g = MaxStyleConfig(style_group_size=g)
+        cfg = MaxStyleConfig()
+        params, state = init_maxstyle(KEY, b, c, cfg_g)
+        # force-apply and use a deterministic block perm for the comparison
+        perm = jnp.asarray([1, 2, 3, 0, 6, 7, 4, 5])
+        state = state.replace(gate=jnp.asarray(1.0), perm=perm)
+        out, new_state = apply_fn(x, params, state, cfg_g)
+        assert new_state.gamma_std.shape == (b, 1, 1, c)
+        for i in range(b // g):
+            sl = slice(i * g, (i + 1) * g)
+            p_i = MaxStyleParams(lmda=params.lmda[sl],
+                                 gamma_noise=params.gamma_noise[sl],
+                                 beta_noise=params.beta_noise[sl])
+            s_i = manual_state(g, c, np.asarray(perm[sl]) - i * g)
+            out_i, st_i = apply_fn(x[sl], p_i, s_i, cfg)
+            np.testing.assert_allclose(np.asarray(out[sl]), np.asarray(out_i),
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(
+                np.asarray(new_state.gamma_std[sl]),
+                np.asarray(np.broadcast_to(st_i.gamma_std, (g, 1, 1, c))),
+                rtol=1e-6)
+
+    def test_grouped_equals_independent_batches(self):
+        self._grouped_equals_independent(apply_maxstyle)
+
+    def test_grouped_equals_independent_batches_pallas(self):
+        from maxstyle_tpu.ops.maxstyle_pallas import apply_maxstyle_pallas
+        self._grouped_equals_independent(apply_maxstyle_pallas)
+
+    def test_init_perm_is_block_diagonal_non_identity(self):
+        b, g = 12, 4
+        cfg = MaxStyleConfig(style_group_size=g)
+        for seed in range(5):
+            _, state = init_maxstyle(jax.random.key(seed), b, 3, cfg)
+            perm = np.asarray(state.perm)
+            for i in range(b // g):
+                blk = perm[i * g:(i + 1) * g]
+                assert set(blk) == set(range(i * g, (i + 1) * g)), perm
+                assert not np.array_equal(blk, np.arange(i * g, (i + 1) * g))
+
+    def test_group_must_divide_batch(self):
+        with pytest.raises(ValueError, match="divide"):
+            init_maxstyle(KEY, 10, 3, MaxStyleConfig(style_group_size=4))
+
+    def test_none_and_oversized_group_keep_batch_semantics(self):
+        # default + G>=B: identical draws and state shapes to the ungrouped op
+        b, c = 6, 3
+        for cfg in (MaxStyleConfig(), MaxStyleConfig(style_group_size=64)):
+            params, state = init_maxstyle(KEY, b, c, cfg)
+            assert state.gamma_std.shape == (1, 1, 1, c)
+            p0, s0 = init_maxstyle(KEY, b, c, MaxStyleConfig())
+            np.testing.assert_array_equal(np.asarray(state.perm),
+                                          np.asarray(s0.perm))
+
+    def test_grouped_gradients_match_independent(self):
+        # the inner adversarial loop optimizes params; grouped grads must
+        # equal the per-group reference grads
+        b, g, c = 8, 4, 2
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(b, 5, 5, c).astype(np.float32))
+        cfg_g = MaxStyleConfig(style_group_size=g)
+        cfg = MaxStyleConfig()
+        params, state = init_maxstyle(KEY, b, c, cfg_g)
+        perm = jnp.asarray([3, 0, 1, 2, 5, 6, 7, 4])
+        state = state.replace(gate=jnp.asarray(1.0), perm=perm)
+
+        def loss(p, xx, st, cc):
+            out, _ = apply_maxstyle(xx, p, st, cc)
+            return jnp.sum(out ** 2)
+
+        grads = jax.grad(loss)(params, x, state, cfg_g)
+        for i in range(b // g):
+            sl = slice(i * g, (i + 1) * g)
+            p_i = MaxStyleParams(lmda=params.lmda[sl],
+                                 gamma_noise=params.gamma_noise[sl],
+                                 beta_noise=params.beta_noise[sl])
+            s_i = manual_state(g, c, np.asarray(perm[sl]) - i * g)
+            g_i = jax.grad(loss)(p_i, x[sl], s_i, cfg)
+            np.testing.assert_allclose(np.asarray(grads.gamma_noise[sl]),
+                                       np.asarray(g_i.gamma_noise),
+                                       rtol=2e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(grads.lmda[sl]),
+                                       np.asarray(g_i.lmda),
+                                       rtol=2e-5, atol=1e-6)
