@@ -51,15 +51,16 @@ def _ensure_backend() -> None:
           f"devices={len(jax.devices())}", file=sys.stderr)
 
 
-def main():
-    _ensure_backend()
-    from __graft_entry__ import _flagship_solver
+def measure_throughput(solver, half_batch: int = 10, pad: int = 224,
+                       crop: int = 192, k_inner: int = 16,
+                       n_calls: int = 2, n_repeats: int = 3) -> float:
+    """Median steps/s of the headline workload on `solver` — shared by the
+    official bench and the perf-experiment scripts so A/B comparisons use
+    the identical timing discipline (device_get barrier, scan-amortized
+    multi-step dispatch)."""
     from maxstyle_tpu.data import augment as A
     from maxstyle_tpu.train_step import make_multi_step
 
-    half_batch, pad, crop = 10, 224, 192
-    k_inner = 16
-    solver = _flagship_solver(hw=crop, batch=2 * half_batch, max_style=True)
     policy = A.get_policy("ACDC_affine_elastic_intensity", (pad, pad),
                           (crop, crop))
     state = solver.init_state(jax.random.key(0), (crop, crop),
@@ -80,7 +81,6 @@ def main():
     state, metrics = multi(state, raw, jax.random.key(10))
     barrier(metrics)
 
-    n_calls, n_repeats = 2, 3
     rates = []
     for r in range(n_repeats):
         t0 = time.perf_counter()
@@ -91,7 +91,15 @@ def main():
         barrier(metrics)
         rates.append(n_calls * k_inner / (time.perf_counter() - t0))
     rates.sort()
-    steps_per_sec = rates[len(rates) // 2]  # median
+    return rates[len(rates) // 2]  # median
+
+
+def main():
+    _ensure_backend()
+    from __graft_entry__ import _flagship_solver
+
+    solver = _flagship_solver(hw=192, batch=20, max_style=True)
+    steps_per_sec = measure_throughput(solver)
 
     anchors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "benchmarks", "anchors.json")

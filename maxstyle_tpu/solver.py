@@ -517,8 +517,11 @@ class TripletSegmentationSolver:
             sp = optax.apply_updates(sp, updates)
             return (sp, opt_state), None
 
+        unroll = max(1, min(int(getattr(ms_cfg, "inner_unroll", 1)),
+                            ms_cfg.n_iter))
         (style_params, _), _ = jax.lax.scan(body, (style_params, inner_opt),
-                                            None, length=ms_cfg.n_iter)
+                                            None, length=ms_cfg.n_iter,
+                                            unroll=unroll)
         recon, _ = decode_with_styles(style_params, style_state)
         return (sg(recon), style_params) if return_style else sg(recon)
 

@@ -1,0 +1,57 @@
+"""Perf experiment (round 4): unrolling the 5-iteration inner adversarial
+scan.
+
+The MaxStyle generation loop (solver.py generate_max_style_image,
+advanced_triplet…:458-571) is compiled as `lax.scan(body, …, length=5)`.
+The loop is semantically sequential (Adam state threads through), but
+`unroll=k` lets XLA schedule and fuse ACROSS iteration bodies — the
+question is whether cross-iteration fusion buys anything at the step's
+small-channel conv floor (docs/VALIDATION.md roofline section), at the
+cost of a k-times-larger program.
+
+Runs the OFFICIAL bench workload (bench.measure_throughput — identical
+timing discipline) with inner_unroll in {1, 5} and prints both rates.
+Negative results are recorded in docs/VALIDATION.md either way.
+
+Usage: python scripts/exp_inner_unroll.py [--unrolls 1,5] [--repeats 3]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unrolls", type=str, default="1,5")
+    ap.add_argument("--repeats", type=int, default=3)
+    opt = ap.parse_args(argv)
+
+    from bench import measure_throughput
+    from maxstyle_tpu.config import (DataConfig, ExperimentConfig,
+                                     LearningConfig, MaxStyleConfig,
+                                     SegmentationModelConfig)
+    from maxstyle_tpu.solver import TripletSegmentationSolver
+
+    print(f"devices: {jax.devices()}", flush=True)
+    for unroll in [int(u) for u in opt.unrolls.split(",")]:
+        cfg = ExperimentConfig(
+            data=DataConfig(crop_size=(192, 192, 1), num_classes=4),
+            segmentation_model=SegmentationModelConfig(
+                network_type="FCN_16_standard_no_STN", num_classes=4),
+            learning=LearningConfig(lr=1e-4, batch_size=20,
+                                    optimizer_type="AdamW", max_style=True),
+            max_style=MaxStyleConfig(n_iter=5,
+                                     decoder_layers_indexes=(3, 4, 5),
+                                     inner_unroll=unroll),
+        )
+        solver = TripletSegmentationSolver(cfg)
+        rate = measure_throughput(solver, n_repeats=opt.repeats)
+        print(f"inner_unroll={unroll}: {rate:.3f} steps/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

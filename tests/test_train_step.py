@@ -153,3 +153,73 @@ class TestPredict:
         out = pred(state.params, state.batch_stats, batch["image"])
         assert out.shape == (4, 64, 64, 4)
         np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+
+
+class TestInnerUnroll:
+    def test_unrolled_scan_matches_sequential(self):
+        """inner_unroll only changes XLA scheduling (lax.scan unroll=k);
+        the generated stylized image must be bitwise-stable vs unroll=1.
+        Guards the knob's plumbing incl. clamping unroll > n_iter."""
+        import dataclasses
+        outs = []
+        for unroll in (1, 2, 99):  # 99 clamps to n_iter=2
+            cfg = small_config(max_style=True)
+            cfg = dataclasses.replace(
+                cfg, max_style=dataclasses.replace(cfg.max_style,
+                                                   inner_unroll=unroll))
+            solver = TripletSegmentationSolver(cfg)
+            state = solver.init_state(jax.random.key(0), (64, 64),
+                                      batch_size=4)
+            batch = synthetic_batch(jax.random.key(1))
+            (z_i, _), _ = solver.encode_image(state.params, state.batch_stats,
+                                              batch["image"], mode="frozen")
+            out = solver.generate_max_style_image(
+                state.params, state.batch_stats, z_i,
+                reference_segmentation=batch["label"],
+                ms_cfg=cfg.max_style, rng=jax.random.key(5))
+            outs.append(np.asarray(out))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-6)
+
+
+class TestStyleGroupInterleave:
+    def test_layout_blocks_of_aug_then_orig(self):
+        from maxstyle_tpu.train_step import interleave_style_groups
+        aug = jnp.arange(8)[:, None] * jnp.ones((8, 3))          # rows 0..7
+        orig = (100 + jnp.arange(8))[:, None] * jnp.ones((8, 3))  # rows 100..107
+        out = interleave_style_groups(aug, orig, group_size=4)
+        first_col = np.asarray(out[:, 0]).astype(int)
+        # groups of 4 = [2 aug | 2 orig], consecutive
+        assert list(first_col) == [0, 1, 100, 101, 2, 3, 102, 103,
+                                   4, 5, 104, 105, 6, 7, 106, 107]
+
+    @pytest.mark.slow
+    def test_fused_step_with_grouping_runs(self):
+        """Scaled-batch MaxStyle step with style_group_size: the fused
+        aug+train dispatch builds interleaved groups and the grouped style
+        op compiles and yields finite losses (the production large-batch
+        recipe, scripts/bench_scaling.py)."""
+        from maxstyle_tpu.data import augment as A
+        from maxstyle_tpu.train_step import make_fused_train_step
+        cfg = ExperimentConfig(
+            data=DataConfig(crop_size=(32, 32, 1), num_classes=4),
+            segmentation_model=SegmentationModelConfig(
+                network_type="FCN_16_standard_no_STN", num_classes=4),
+            learning=LearningConfig(lr=1e-4, batch_size=16,
+                                    optimizer_type="AdamW", max_style=True),
+            max_style=MaxStyleConfig(n_iter=2, decoder_layers_indexes=(3, 4, 5),
+                                     style_group_size=8),
+        )
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (32, 32), batch_size=16)
+        policy = A.get_policy("ACDC_affine_elastic_intensity", (40, 40),
+                              (32, 32))
+        step = make_fused_train_step(solver, policy, keep_orig=True,
+                                     jit_compile=False)
+        raw = {"image": jnp.clip(0.5 + 0.25 * jax.random.normal(
+                   jax.random.key(1), (8, 40, 40)), 0, 1),
+               "label": jax.random.randint(jax.random.key(2), (8, 40, 40),
+                                           0, 4)}
+        new_state, metrics = step(state, raw, jax.random.key(3))
+        assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+        assert int(new_state.step) == 1
