@@ -7,6 +7,12 @@
 test-fast:
 	python -m pytest tests -x -q -m "not slow"
 
+# prioritized pre-close gate: fast tests PLUS the load-bearing slow tests
+# (e2e, sharding, executable parity, golden losses, production drill,
+# train CLI) — skips the slow library-surface parity pins
+test-preclose:
+	python -m pytest tests -x -q -m "not slow or core"
+
 # the full suite (~20 min warm, single-core CPU)
 test:
 	python -m pytest tests -x -q

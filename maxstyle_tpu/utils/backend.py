@@ -46,7 +46,19 @@ def wait_for_backend(max_attempts: int = 3, probe_timeout: float = 120.0,
     """Block until a subprocess probe confirms the backend initializes,
     retrying with backoff (60 s, then 120 s, ...). Raises RuntimeError with
     a diagnostic after ``max_attempts`` failures (~9.5 min at defaults) —
-    an environment verdict, never a silent hang."""
+    an environment verdict, never a silent hang.
+
+    When the parent has explicitly pinned a local platform
+    (``jax.config.update("jax_platforms", "cpu")`` — the test conftest and
+    the dryrun child do this), there is no tunnel to wait for and the
+    probe is skipped: a subprocess probe would NOT inherit the pin (the
+    axon plugin silently overrides the JAX_PLATFORMS env var) and would
+    hang on a down tunnel even though the caller never needs it."""
+    pinned = getattr(jax.config, "jax_platforms", None) or ""
+    if pinned and all(p in ("cpu", "gpu") for p in pinned.split(",")):
+        print(f"[{tag}] platform pinned to '{pinned}' — skipping tunnel "
+              f"probe", file=sys.stderr)
+        return
     for attempt in range(1, max_attempts + 1):
         ok, detail = probe_backend(probe_timeout)
         if ok:

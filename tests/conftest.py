@@ -41,3 +41,25 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+# Slow tests split two ways: `core` = slow but load-bearing (end-to-end
+# cycles, sharding, the reference-EXECUTABLE parity pins, the production
+# drill) — the prioritized pre-close gate is `-m "not slow or core"`
+# (`make test-preclose`, ~half the full-suite latency on this 1-core
+# host). The remaining slow tests cover the library surface
+# (per-function parity pins, model-family compiles) and regress far less
+# often.
+_CORE_SLOW_MODULES = {
+    "test_end_to_end", "test_sharding", "test_dp_trainer",
+    "test_reference_executable_parity", "test_golden_losses",
+    "test_full_path_drill", "test_train_cli", "test_train_step",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if (item.get_closest_marker("slow")
+                and item.module.__name__ in _CORE_SLOW_MODULES):
+            item.add_marker(pytest.mark.core)
