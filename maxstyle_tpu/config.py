@@ -38,6 +38,9 @@ class DataConfig:
     crop_size: Tuple[int, ...] = (192, 192, 1)
     new_spacing: Optional[Tuple[float, ...]] = None
     data_aug_policy: str = "ACDC_affine_elastic_intensity"
+    # image warp interpolation: 'bilinear' (default) or 'cubic' (the
+    # reference's order-3 spline semantics, ops/spline.py)
+    image_interp: str = "bilinear"
     image_format_name: str = "{pid}_img.nrrd"
     label_format_name: str = "{pid}_seg.nrrd"
     num_classes: int = 4
@@ -59,6 +62,7 @@ class DataConfig:
             crop_size=_tup(_get(d, "crop_size", (192, 192, 1))),
             new_spacing=_tup(_get(d, "new_spacing")),
             data_aug_policy=_get(d, "data_aug_policy", "ACDC_affine_elastic_intensity"),
+            image_interp=_get(d, "image_interp", "bilinear"),
             image_format_name=_get(d, "image_format_name", "{pid}_img.nrrd"),
             label_format_name=_get(d, "label_format_name", "{pid}_seg.nrrd"),
             num_classes=_get(d, "num_classes", 4),

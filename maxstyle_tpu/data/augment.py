@@ -12,12 +12,16 @@ displacement field is synthesized in Fourier space (gaussian smoothing of a
 uniform noise field = one rfft2/irfft2 round trip, any traced sigma, no
 giant conv kernels).
 
-Interpolation notes vs the reference: images are sampled bilinearly and
-labels nearest-neighbour, whereas the reference uses order-3 splines
-(bilinear+nearest for its affine, per-class order-3 for elastic). This is a
-deliberate statistical-parity choice (SURVEY §7 hard part 5): exact RNG
-streams can't match PyTorch anyway, and bilinear warps of 1-channel MR
-slices are visually and statistically indistinguishable for training.
+Interpolation notes vs the reference: by default images are sampled
+bilinearly and labels nearest-neighbour, whereas the reference uses
+order-3 splines (bilinear+nearest for its affine, per-class order-3 for
+elastic). The default is a deliberate statistical-parity choice (SURVEY
+§7 hard part 5, quantified <1.5% of dynamic range in
+tests/test_interp_parity.py); `AugPolicy.image_interp="cubic"`
+(config: data.image_interp) switches the image path to a true cubic
+B-spline warp (ops/spline.py, scipy order-3 semantics pinned to f32
+precision) at ~16 gather taps/pixel instead of 4. Labels stay
+nearest-neighbour either way (exact agreement with scipy order-0).
 
 Aug policy registry mirrors transform.Transformations (:15-42) including the
 headline policies `ACDC_affine_elastic_intensity` (flip p=0.2 h+v,
@@ -67,13 +71,18 @@ class AugPolicy:
     perturb_v1_noise_eps: float = 0.01
     perturb_v1_control_points: Tuple[int, ...] = (2, 4, 8)
     perturb_v1_max_sigma: float = 16.0
+    # image warp interpolation: 'bilinear' (default, 4 taps, pallas fast
+    # path eligible) or 'cubic' (ops/spline.py — the reference's order-3
+    # spline semantics, gather path only)
+    image_interp: str = "bilinear"
 
 
 def no_aug(pad_hw, crop_hw) -> AugPolicy:
     return AugPolicy(pad_hw=tuple(pad_hw), crop_hw=tuple(crop_hw))
 
 
-def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
+def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192),
+               image_interp: str = "bilinear") -> AugPolicy:
     """Aug-policy registry (transform.py:15-42 + per-policy configs
     :113-215)."""
     base = no_aug(pad_hw, crop_hw)
@@ -135,7 +144,10 @@ def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192)) -> AugPolicy:
     }
     if name not in table:
         raise KeyError(f"unknown aug policy {name}; have {sorted(table)}")
-    return table[name]
+    pol = table[name]
+    if image_interp != "bilinear":
+        pol = dataclasses.replace(pol, image_interp=image_interp)
+    return pol
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +418,11 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, label: jnp.ndarray,
     ([h,w], [h,w]). Per-sample gather path (jnp reference semantics); the
     batch path dispatches the warp to the fused MXU kernel instead."""
     sy, sx = _aug_coords(key, policy)
-    img = _sample_bilinear(image, sy, sx)
+    if policy.image_interp == "cubic":
+        from maxstyle_tpu.ops.spline import map_coordinates_cubic
+        img = map_coordinates_cubic(image, sy, sx)
+    else:
+        img = _sample_bilinear(image, sy, sx)
     lab = _sample_nearest(label.astype(jnp.float32), sy, sx).astype(jnp.int32)
     img = _post_warp_intensity(key, img, policy)
     return img, lab
@@ -440,7 +456,9 @@ def augment_batch_inner(key: jax.Array, images: jnp.ndarray,
     'gather' (jnp reference), or 'auto'."""
     from maxstyle_tpu.ops import warp_pallas
 
-    if warp_backend == "auto":
+    if policy.image_interp == "cubic":
+        warp_backend = "gather"  # the fused MXU kernel is bilinear-only
+    elif warp_backend == "auto":
         warp_backend = warp_pallas.warp_backend_default()
     images = images.astype(jnp.float32)
     keys = jax.random.split(key, images.shape[0])

@@ -188,7 +188,8 @@ def train_network(experiment_name: str, solver: TripletSegmentationSolver,
     crop_hw = (d.crop_size[0], d.crop_size[1])
     pad_hw = (d.pad_size[0], d.pad_size[1])
     keep_orig = d.keep_orig_image_label_pair_for_training
-    policy = A.get_policy(d.data_aug_policy, pad_hw, crop_hw)
+    policy = A.get_policy(d.data_aug_policy, pad_hw, crop_hw,
+                          image_interp=d.image_interp)
 
     root_key = prng.make_key(seed)
     if state is None:
