@@ -71,9 +71,9 @@ class AugPolicy:
     perturb_v1_noise_eps: float = 0.01
     perturb_v1_control_points: Tuple[int, ...] = (2, 4, 8)
     perturb_v1_max_sigma: float = 16.0
-    # image warp interpolation: 'bilinear' (default, 4 taps, pallas fast
-    # path eligible) or 'cubic' (ops/spline.py — the reference's order-3
-    # spline semantics, gather path only)
+    # image warp interpolation: 'bilinear' (default, 4 taps) or 'cubic'
+    # (ops/spline.py — the reference's order-3 spline semantics; the
+    # pallas fast path runs it as four-hot MXU matmuls at bilinear cost)
     image_interp: str = "bilinear"
 
 
@@ -456,9 +456,7 @@ def augment_batch_inner(key: jax.Array, images: jnp.ndarray,
     'gather' (jnp reference), or 'auto'."""
     from maxstyle_tpu.ops import warp_pallas
 
-    if policy.image_interp == "cubic":
-        warp_backend = "gather"  # the fused MXU kernel is bilinear-only
-    elif warp_backend == "auto":
+    if warp_backend == "auto":
         warp_backend = warp_pallas.warp_backend_default()
     images = images.astype(jnp.float32)
     keys = jax.random.split(key, images.shape[0])
@@ -466,7 +464,10 @@ def augment_batch_inner(key: jax.Array, images: jnp.ndarray,
         sy, sx = jax.vmap(lambda k: _aug_coords(k, policy))(keys)
         from maxstyle_tpu.utils.backend import default_backend
         interpret = default_backend() in ("cpu", "gpu")
-        img, lab = warp_pallas.warp_bilinear_nearest(
+        warp_fn = (warp_pallas.warp_cubic_nearest
+                   if policy.image_interp == "cubic"
+                   else warp_pallas.warp_bilinear_nearest)
+        img, lab = warp_fn(
             images, labels, sy, sx, policy.crop_hw, interpret=interpret)
         img = jax.vmap(lambda k, i: _post_warp_intensity(k, i, policy))(
             keys, img)

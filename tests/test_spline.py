@@ -122,9 +122,10 @@ class TestCubicAugmentPath:
         np.testing.assert_allclose(ours, ref, atol=5e-5)
 
     def test_policy_plumbs_through_batch_path(self):
-        """augment_batch_inner under a cubic policy (pallas backend must
-        silently fall back to gather) produces finite, correctly-shaped
-        outputs that differ from the bilinear policy's."""
+        """augment_batch_inner under a cubic policy: the pallas backend
+        dispatches to the four-hot cubic kernel and agrees with the
+        gather cubic path; both differ from bilinear only by
+        interpolation order (labels exact across all three)."""
         pol_c = A.get_policy("ACDC_affine_elastic", pad_hw=(48, 48),
                              crop_hw=(32, 32), image_interp="cubic")
         pol_b = A.get_policy("ACDC_affine_elastic", pad_hw=(48, 48),
@@ -133,16 +134,18 @@ class TestCubicAugmentPath:
         imgs = jnp.asarray(rng.rand(3, 48, 48).astype(np.float32))
         labs = jnp.asarray(rng.randint(0, 4, (3, 48, 48)))
         k = jax.random.key(0)
-        img_c, lab_c = A.augment_batch_inner(k, imgs, labs, pol_c,
-                                             warp_backend="pallas")
+        img_cp, lab_cp = A.augment_batch_inner(k, imgs, labs, pol_c,
+                                               warp_backend="pallas")
+        img_cg, lab_cg = A.augment_batch_inner(k, imgs, labs, pol_c,
+                                               warp_backend="gather")
         img_b, lab_b = A.augment_batch_inner(k, imgs, labs, pol_b,
                                              warp_backend="gather")
-        assert img_c.shape == (3, 32, 32, 1) and lab_c.shape == (3, 32, 32)
-        assert np.isfinite(np.asarray(img_c)).all()
-        # same keys -> same geometry: labels (nearest) agree exactly,
-        # images differ only by interpolation order
-        np.testing.assert_array_equal(np.asarray(lab_c), np.asarray(lab_b))
-        diff = np.abs(np.asarray(img_c) - np.asarray(img_b)).max()
+        assert img_cp.shape == (3, 32, 32, 1) and lab_cp.shape == (3, 32, 32)
+        np.testing.assert_allclose(np.asarray(img_cp), np.asarray(img_cg),
+                                   atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(lab_cp), np.asarray(lab_cg))
+        np.testing.assert_array_equal(np.asarray(lab_cp), np.asarray(lab_b))
+        diff = np.abs(np.asarray(img_cp) - np.asarray(img_b)).max()
         assert 0 < diff < 0.2, diff
 
     def test_config_plumbing(self):

@@ -63,6 +63,58 @@ class TestWarpKernelParity:
         np.testing.assert_array_equal(np.asarray(ol), np.asarray(lab))
 
 
+class TestCubicWarpKernelParity:
+    """Four-hot cubic kernel (warp_cubic_nearest) vs the gather cubic op
+    (ops/spline.map_coordinates_cubic) — identical semantics, MXU cost of
+    the bilinear kernel."""
+
+    def test_cubic_matches_gather_spline(self):
+        from maxstyle_tpu.ops.spline import map_coordinates_cubic
+        from maxstyle_tpu.ops.warp_pallas import warp_cubic_nearest
+        img, lab, sy, sx = _random_problem(seed=5)
+        oi, _ = warp_cubic_nearest(img, lab, sy, sx, (48, 48),
+                                   interpret=True)
+        ri = jax.vmap(map_coordinates_cubic)(img, sy, sx)
+        np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), atol=2e-5)
+
+    def test_cubic_matches_scipy(self):
+        scipy_ndimage = pytest.importorskip("scipy.ndimage")
+        from maxstyle_tpu.ops.warp_pallas import warp_cubic_nearest
+        img, lab, sy, sx = _random_problem(seed=6, n=2)
+        oi, _ = warp_cubic_nearest(img, lab, sy, sx, (48, 48),
+                                   interpret=True)
+        for i in range(2):
+            ref = scipy_ndimage.map_coordinates(
+                np.asarray(img[i], np.float64),
+                [np.asarray(sy[i]), np.asarray(sx[i])], order=3,
+                mode="constant", cval=0.0, prefilter=True)
+            np.testing.assert_allclose(np.asarray(oi[i]), ref, atol=5e-5)
+
+    def test_nearest_label_exact(self):
+        from maxstyle_tpu.ops.warp_pallas import (warp_bilinear_nearest,
+                                                  warp_cubic_nearest)
+        img, lab, sy, sx = _random_problem(seed=7)
+        _, ol_c = warp_cubic_nearest(img, lab, sy, sx, (48, 48),
+                                     interpret=True)
+        _, ol_b = warp_bilinear_nearest(img, lab, sy, sx, (48, 48),
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(ol_c), np.asarray(ol_b))
+
+    def test_identity_warp_is_identity(self):
+        from maxstyle_tpu.ops.warp_pallas import warp_cubic_nearest
+        img, lab, _, _ = _random_problem(seed=8, src=48, out=48)
+        yy = jnp.broadcast_to(jnp.arange(48.0)[:, None], (48, 48))
+        xx = jnp.broadcast_to(jnp.arange(48.0)[None, :], (48, 48))
+        sy = jnp.broadcast_to(yy, (3, 48, 48))
+        sx = jnp.broadcast_to(xx, (3, 48, 48))
+        oi, ol = warp_cubic_nearest(img, lab, sy, sx, (48, 48),
+                                    interpret=True)
+        # cubic interpolation reproduces the samples at grid points
+        np.testing.assert_allclose(np.asarray(oi), np.asarray(img),
+                                   atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(ol), np.asarray(lab))
+
+
 class TestAugmentBackends:
     def test_batch_backends_agree(self):
         rng = np.random.RandomState(0)
