@@ -42,7 +42,7 @@ def probe_backend(timeout_s: float = 120.0, env=None):
 
 
 def wait_for_backend(max_attempts: int = 3, probe_timeout: float = 120.0,
-                     tag: str = "backend") -> None:
+                     tag: str = "backend", respect_pin: bool = True) -> None:
     """Block until a subprocess probe confirms the backend initializes,
     retrying with backoff (60 s, then 120 s, ...). Raises RuntimeError with
     a diagnostic after ``max_attempts`` failures (~9.5 min at defaults) —
@@ -53,9 +53,12 @@ def wait_for_backend(max_attempts: int = 3, probe_timeout: float = 120.0,
     the dryrun child do this), there is no tunnel to wait for and the
     probe is skipped: a subprocess probe would NOT inherit the pin (the
     axon plugin silently overrides the JAX_PLATFORMS env var) and would
-    hang on a down tunnel even though the caller never needs it."""
+    hang on a down tunnel even though the caller never needs it.
+    `respect_pin=False` forces the probe loop regardless (tests of the
+    retry machinery)."""
     pinned = getattr(jax.config, "jax_platforms", None) or ""
-    if pinned and all(p in ("cpu", "gpu") for p in pinned.split(",")):
+    if (respect_pin and pinned
+            and all(p in ("cpu", "gpu") for p in pinned.split(","))):
         print(f"[{tag}] platform pinned to '{pinned}' — skipping tunnel "
               f"probe", file=sys.stderr)
         return

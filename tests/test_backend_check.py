@@ -40,14 +40,25 @@ class TestTunnelHardening:
                                                (False, "UNAVAILABLE")))
         monkeypatch.setattr(B.time, "sleep", lambda s: None)
         with pytest.raises(RuntimeError, match="environment failure"):
-            B.wait_for_backend(max_attempts=3)
+            B.wait_for_backend(max_attempts=3, respect_pin=False)
         assert len(calls) == 3
 
     def test_wait_recovers_mid_way(self, monkeypatch):
         seq = iter([(False, "hang"), (True, "cpu 1")])
         monkeypatch.setattr(B, "probe_backend", lambda timeout_s: next(seq))
         monkeypatch.setattr(B.time, "sleep", lambda s: None)
-        B.wait_for_backend(max_attempts=3)  # no raise
+        B.wait_for_backend(max_attempts=3, respect_pin=False)  # no raise
+        with pytest.raises(StopIteration):
+            next(seq)  # both probes were consumed
+
+    def test_wait_skips_probe_when_platform_pinned(self, monkeypatch):
+        """Under the test conftest jax_platforms is pinned to 'cpu': the
+        tunnel probe must be skipped entirely (it can hang ~6 min on a
+        down tunnel the caller never needs)."""
+        def boom(timeout_s):
+            raise AssertionError("probe must not run under a cpu pin")
+        monkeypatch.setattr(B, "probe_backend", boom)
+        B.wait_for_backend(max_attempts=3)  # no raise, no probe
 
     def test_default_backend_tolerates_init_failure(self, monkeypatch):
         def boom():
