@@ -38,7 +38,12 @@ def main():
 
     for eff_batch in (20, 40, 80, 160):
         half = eff_batch // 2
-        solver = _flagship_solver(hw=crop, batch=eff_batch, max_style=True)
+        # scaled batches train the PRODUCTION semantics: per-20-sample
+        # style groups (config.MaxStyleConfig.style_group_size), so the
+        # curve's samples/s carries method fidelity (docs/VALIDATION.md)
+        group = 20 if eff_batch > 20 else None
+        solver = _flagship_solver(hw=crop, batch=eff_batch, max_style=True,
+                                  style_group_size=group)
         state = solver.init_state(jax.random.key(0), (crop, crop),
                                   batch_size=eff_batch)
         raw = {"image": jnp.clip(0.5 + 0.25 * jax.random.normal(
@@ -66,6 +71,7 @@ def main():
             "slices_per_sec": round(steps * eff_batch, 1),
             "tf_per_sec_sustained": round(steps * gflop / 1e3, 3),
             "sec_per_step": round(dt / n_calls, 4),
+            "style_group_size": group,
         }))
 
 

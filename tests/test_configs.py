@@ -34,7 +34,13 @@ def test_config_parses_and_builds(path):
     else:
         assert cfg.crop_hw == (224, 224)
         assert cfg.segmentation_model.num_classes == 2
-    assert cfg.learning.batch_size == 20
+    if os.sep + "TPU" + os.sep in path:
+        # TPU production-scale configs: scaled batch with grouped style
+        # stats preserving the reference's batch-20 method semantics
+        assert cfg.learning.batch_size % 20 == 0
+        assert cfg.max_style.style_group_size == 20
+    else:
+        assert cfg.learning.batch_size == 20
     assert cfg.learning.optimizer_type == "AdamW"
     if "MaxStyle" in path:
         assert cfg.learning.max_style
@@ -52,8 +58,11 @@ def test_config_parses_and_builds(path):
 
 
 def test_full_suite_present():
-    # 3 ACDC methods x 2 budgets + 9 prostate methods = 15 launchable files
-    assert len(CONFIGS) == 15, _ids
+    # 3 ACDC methods x 2 budgets + 9 prostate methods = 15 launchable
+    # reference-mirror files, plus TPU production-scale configs
+    ref = [p for p in CONFIGS if os.sep + "TPU" + os.sep not in p]
+    assert len(ref) == 15, _ids
+    assert len(CONFIGS) > len(ref), "TPU production configs missing"
     flags_covered = set()
     for p in CONFIGS:
         cfg = ExperimentConfig.from_json(p)
