@@ -161,6 +161,10 @@ class MaxStyleConfig:
     # per-group — a B=80/G=20 batch behaves like 4 independent reference
     # batches (one shared Bernoulli gate per step is the only deviation).
     # None (default) = batch-level, the reference behavior.
+    # Under data parallelism the train step is GSPMD (parallel/mesh.py),
+    # so grouping is correct regardless of sharding; for zero cross-chip
+    # gather traffic pick G so each group lands on one chip
+    # (G | global_batch/n_data_devices).
     style_group_size: Optional[int] = None
     # XLA unroll factor for the n_iter inner adversarial scan (semantics
     # unchanged — the loop stays sequential through the Adam state; unroll
