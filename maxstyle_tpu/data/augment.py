@@ -76,6 +76,12 @@ class AugPolicy:
     # pallas fast path runs it as four-hot MXU matmuls at bilinear cost)
     image_interp: str = "bilinear"
 
+    def __post_init__(self):
+        if self.image_interp not in ("bilinear", "cubic"):
+            raise ValueError(
+                f"image_interp must be 'bilinear' or 'cubic', got "
+                f"{self.image_interp!r}")
+
 
 def no_aug(pad_hw, crop_hw) -> AugPolicy:
     return AugPolicy(pad_hw=tuple(pad_hw), crop_hw=tuple(crop_hw))
@@ -144,6 +150,9 @@ def get_policy(name: str, pad_hw=(224, 224), crop_hw=(192, 192),
     }
     if name not in table:
         raise KeyError(f"unknown aug policy {name}; have {sorted(table)}")
+    if image_interp not in ("bilinear", "cubic"):
+        raise ValueError(f"image_interp must be 'bilinear' or 'cubic', "
+                         f"got {image_interp!r}")
     pol = table[name]
     if image_interp != "bilinear":
         pol = dataclasses.replace(pol, image_interp=image_interp)

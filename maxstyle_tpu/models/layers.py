@@ -69,6 +69,12 @@ class BatchNorm(nn.Module):
     reduction in f32 over bf16/f32 activations in ~[-10, 10], cancellation
     error stays ~1e-6 relative — far inside the 5e-4 torch-parity gates
     (tests/test_torch_import.py, test_reference_executable_parity.py).
+    Known limit of the form (shared with flax nn.BatchNorm and XLA's own
+    batch-norm expansion, which use the same E[x^2]-E[x]^2): a channel
+    with |mean|/std >~ 1e3 (near-constant large-offset activations) loses
+    relative variance precision; post-conv pre-BN activations in this
+    model family are zero-centered by initialization and stay orders of
+    magnitude away from that regime.
 
     The class name keeps flax's auto-naming ('BatchNorm_0') and the
     param/stat layout ({scale,bias}/{mean,var}) so converted reference
@@ -553,7 +559,12 @@ class AdaptiveBatchInstanceNorm(nn.Module):
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         inorm = (x - mean) / jnp.sqrt(var + 1e-5)
-        rho = jnp.clip(self.param("rho", jax.nn.initializers.ones, (c,)), 0.0, 1.0)
+        # straight-through projection: clipped value, identity gradient —
+        # torch clamps rho.data in-place, so the boundary never kills the
+        # gradient (see BatchInstanceNorm.gate below)
+        rho_raw = self.param("rho", jax.nn.initializers.ones, (c,))
+        rho = rho_raw - jax.lax.stop_gradient(
+            rho_raw - jnp.clip(rho_raw, 0.0, 1.0))
         gamma = self.param("gamma", jax.nn.initializers.ones, (c,))
         beta = self.param("beta", jax.nn.initializers.zeros, (c,))
         return (rho * bn + (1.0 - rho) * inorm) * gamma + beta
@@ -595,8 +606,17 @@ class BatchInstanceNorm(nn.Module):
             raise ValueError("BatchInstanceNorm needs spatial dims "
                              f"(got {x.ndim}D input)")
         c = x.shape[-1]
-        gate = jnp.clip(
-            self.param("gate", nn.initializers.ones, (c,), jnp.float32), 0, 1)
+        # the reference clamps gate.data IN-PLACE each forward
+        # (custom_layers.py:343-ish), so the stored parameter never leaves
+        # [0,1] and keeps a live gradient at the boundary. A plain
+        # jnp.clip would zero the gradient the moment an optimizer step
+        # overshoots the bound and freeze the gate forever; the
+        # straight-through projection below uses the clipped VALUE while
+        # passing the identity gradient, reproducing the torch dynamics.
+        gate_raw = self.param("gate", nn.initializers.ones, (c,),
+                              jnp.float32)
+        gate = gate_raw - jax.lax.stop_gradient(
+            gate_raw - jnp.clip(gate_raw, 0, 1))
         if self.affine:
             w = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)

@@ -199,8 +199,18 @@ def make_fused_train_step(solver: TripletSegmentationSolver, aug_policy,
             half = img.shape[0]
             g = (solver.config.max_style.style_group_size
                  if solver.config.learning.max_style else None)
-            if (g and 2 * half > g and g % 2 == 0
-                    and half % (g // 2) == 0):
+            if g and 2 * half > g:
+                # grouping is active below the full batch: the interleave
+                # preconditions must hold, otherwise groups would silently
+                # be all-aug / all-orig instead of the documented
+                # [G/2 aug | G/2 orig] reference composition — refuse
+                # loudly like init_maxstyle does for non-divisible batches
+                if g % 2 or half % (g // 2):
+                    raise ValueError(
+                        f"style_group_size={g} with keep_orig pairing "
+                        f"needs an even group that divides both batch "
+                        f"halves (half={half}); adjust batch_size or "
+                        f"style_group_size")
                 batch = {"image": interleave_style_groups(
                              batch["image"], oi[..., None], g),
                          "label": interleave_style_groups(

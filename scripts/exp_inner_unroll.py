@@ -30,25 +30,16 @@ def main(argv=None):
     ap.add_argument("--repeats", type=int, default=3)
     opt = ap.parse_args(argv)
 
+    from __graft_entry__ import _flagship_solver
     from bench import measure_throughput
-    from maxstyle_tpu.config import (DataConfig, ExperimentConfig,
-                                     LearningConfig, MaxStyleConfig,
-                                     SegmentationModelConfig)
-    from maxstyle_tpu.solver import TripletSegmentationSolver
 
     print(f"devices: {jax.devices()}", flush=True)
     for unroll in [int(u) for u in opt.unrolls.split(",")]:
-        cfg = ExperimentConfig(
-            data=DataConfig(crop_size=(192, 192, 1), num_classes=4),
-            segmentation_model=SegmentationModelConfig(
-                network_type="FCN_16_standard_no_STN", num_classes=4),
-            learning=LearningConfig(lr=1e-4, batch_size=20,
-                                    optimizer_type="AdamW", max_style=True),
-            max_style=MaxStyleConfig(n_iter=5,
-                                     decoder_layers_indexes=(3, 4, 5),
-                                     inner_unroll=unroll),
-        )
-        solver = TripletSegmentationSolver(cfg)
+        # THE flagship workload, varied only in unroll — never a copy of
+        # the config (drift between bench.py and this experiment would
+        # silently invalidate the A/B)
+        solver = _flagship_solver(hw=192, batch=20, max_style=True,
+                                  inner_unroll=unroll)
         rate = measure_throughput(solver, n_repeats=opt.repeats)
         print(f"inner_unroll={unroll}: {rate:.3f} steps/s", flush=True)
 

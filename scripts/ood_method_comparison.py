@@ -153,6 +153,7 @@ def main(argv=None):
                 rec = json.loads(line)
                 if (rec.get("steps") == opt.steps
                         and rec.get("batch") == opt.batch
+                        and rec.get("hw") == opt.hw
                         and rec.get("style_group_size")
                         == opt.style_group_size):
                     done[(rec["method"], rec["seed"])] = rec["dice"]
@@ -181,7 +182,7 @@ def main(argv=None):
                 with open(opt.out, "a") as f:
                     f.write(json.dumps({
                         "method": method, "seed": seed, "steps": opt.steps,
-                        "batch": opt.batch,
+                        "batch": opt.batch, "hw": opt.hw,
                         "style_group_size": opt.style_group_size,
                         "dice": res, "final_loss": loss,
                         "train_s": secs}) + "\n")

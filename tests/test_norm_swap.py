@@ -210,3 +210,44 @@ class TestNormSwap:
         np.testing.assert_array_equal(
             np.asarray(rv["batch_stats"]["inc"]["norm1"]["BatchNorm_0"]
                        ["mean"]), 0.0)
+
+
+class TestGateGradientDynamics:
+    def test_out_of_range_gate_keeps_gradient(self):
+        """torch clamps gate.data in-place each forward, so the stored
+        parameter never leaves [0,1] and the boundary never kills the
+        gradient. Our straight-through projection must likewise keep a
+        live gradient when an optimizer step overshoots the bound —
+        a plain jnp.clip would freeze the gate forever."""
+        m = layers.BatchInstanceNorm()
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 5, 3),
+                        jnp.float32)
+        v = m.init({"params": KEY}, x, train=True)
+
+        def loss(params):
+            y, _ = m.apply({**v, "params": params}, x, train=True,
+                           mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+
+        for bad in (1.3, -0.2):
+            params = jax.tree_util.tree_map(lambda p: p, v["params"])
+            params = {**params, "gate": jnp.full((3,), bad, jnp.float32)}
+            g = jax.grad(loss)(params)["gate"]
+            assert np.abs(np.asarray(g)).min() > 0, (bad, g)
+
+    def test_out_of_range_gate_value_is_clipped(self):
+        # forward VALUE uses the clamped gate: 1.3 behaves exactly as 1.0
+        m = layers.BatchInstanceNorm()
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 5, 5, 3),
+                        jnp.float32)
+        v = m.init({"params": KEY}, x, train=True)
+        y13, _ = m.apply(
+            {**v, "params": {**v["params"],
+                             "gate": jnp.full((3,), 1.3)}},
+            x, train=True, mutable=["batch_stats"])
+        y10, _ = m.apply(
+            {**v, "params": {**v["params"],
+                             "gate": jnp.ones((3,))}},
+            x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y13), np.asarray(y10),
+                                   atol=1e-6)

@@ -153,3 +153,13 @@ class TestCubicAugmentPath:
         d = DataConfig.from_dict({"image_interp": "cubic"})
         assert d.image_interp == "cubic"
         assert DataConfig.from_dict({}).image_interp == "bilinear"
+
+    def test_invalid_interp_rejected_everywhere(self):
+        """Typos like 'bicubic' must fail loudly, not silently run
+        bilinear (all construction routes)."""
+        with pytest.raises(ValueError, match="image_interp"):
+            A.get_policy("no_aug", image_interp="bicubic")
+        import dataclasses
+        pol = A.get_policy("no_aug")
+        with pytest.raises(ValueError, match="image_interp"):
+            dataclasses.replace(pol, image_interp="order3")

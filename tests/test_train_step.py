@@ -193,6 +193,30 @@ class TestStyleGroupInterleave:
         assert list(first_col) == [0, 1, 100, 101, 2, 3, 102, 103,
                                    4, 5, 104, 105, 6, 7, 106, 107]
 
+    def test_odd_or_misaligned_group_refuses_loudly(self):
+        """A group that can't hold the [G/2 aug | G/2 orig] composition
+        must raise, not silently build all-aug / all-orig groups."""
+        from maxstyle_tpu.data import augment as A
+        from maxstyle_tpu.train_step import make_fused_train_step
+        cfg = ExperimentConfig(
+            data=DataConfig(crop_size=(32, 32, 1), num_classes=4),
+            segmentation_model=SegmentationModelConfig(
+                network_type="FCN_16_standard_no_STN", num_classes=4),
+            learning=LearningConfig(lr=1e-4, batch_size=20,
+                                    optimizer_type="AdamW", max_style=True),
+            max_style=MaxStyleConfig(n_iter=1, decoder_layers_indexes=(3,),
+                                     style_group_size=5),  # odd
+        )
+        solver = TripletSegmentationSolver(cfg)
+        state = solver.init_state(jax.random.key(0), (32, 32), batch_size=20)
+        policy = A.get_policy("no_aug", (40, 40), (32, 32))
+        step = make_fused_train_step(solver, policy, keep_orig=True,
+                                     jit_compile=False)
+        raw = {"image": jnp.zeros((10, 40, 40)),
+               "label": jnp.zeros((10, 40, 40), jnp.int32)}
+        with pytest.raises(ValueError, match="style_group_size"):
+            step(state, raw, jax.random.key(3))
+
     @pytest.mark.slow
     def test_fused_step_with_grouping_runs(self):
         """Scaled-batch MaxStyle step with style_group_size: the fused
