@@ -111,7 +111,7 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
+    result = {
         "metric": "maxstyle_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": ("steps/s (effective batch 20 @192x192, on-device aug, "
@@ -119,7 +119,16 @@ def main():
                  "vs_baseline = x over the reference's own code measured "
                  "same-host (torch CPU, benchmarks/anchors.json)"),
         "vs_baseline": vs_baseline,
-    }))
+    }
+    print(json.dumps(result))
+    try:  # provenance: every successful measurement, timestamped
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_history.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({**result, "ts": time.time(),
+                                "backend": jax.default_backend()}) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
