@@ -33,6 +33,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+ANCHORS_PATH = os.path.join(_HERE, "benchmarks", "anchors.json")
+HISTORY_PATH = os.path.join(_HERE, "benchmarks", "bench_history.jsonl")
+
 
 def _ensure_backend() -> None:
     """Block until the TPU tunnel answers, before this process touches jax.
@@ -101,11 +105,9 @@ def main():
     solver = _flagship_solver(hw=192, batch=20, max_style=True)
     steps_per_sec = measure_throughput(solver)
 
-    anchors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "benchmarks", "anchors.json")
     vs_baseline = None
     try:
-        with open(anchors_path) as f:
+        with open(ANCHORS_PATH) as f:
             ref = json.load(f)["ref_cpu_steps_per_sec"]
         vs_baseline = round(steps_per_sec / ref, 1)
     except Exception:
@@ -122,9 +124,7 @@ def main():
     }
     print(json.dumps(result))
     try:  # provenance: every successful measurement, timestamped
-        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "bench_history.jsonl")
-        with open(hist, "a") as f:
+        with open(HISTORY_PATH, "a") as f:
             f.write(json.dumps({**result, "ts": time.time(),
                                 "backend": jax.default_backend()}) + "\n")
     except OSError:

@@ -60,6 +60,21 @@ class TestTunnelHardening:
         monkeypatch.setattr(B, "probe_backend", boom)
         B.wait_for_backend(max_attempts=3)  # no raise, no probe
 
+    def test_graft_entry_falls_back_to_cpu_pin(self, monkeypatch):
+        """A tunnel that stays down must degrade entry() to an XLA:CPU
+        compile check (pin recorded via jax.config.update), never raise —
+        the driver's compile artifact survives an environment outage."""
+        import __graft_entry__ as g
+
+        def down(**kw):
+            raise RuntimeError("environment failure (TPU tunnel)")
+        monkeypatch.setattr(B, "wait_for_backend", down)
+        pins = []
+        monkeypatch.setattr(g.jax.config, "update",
+                            lambda k, v: pins.append((k, v)))
+        g._ensure_backend()  # no raise
+        assert pins == [("jax_platforms", "cpu")]
+
     def test_default_backend_tolerates_init_failure(self, monkeypatch):
         def boom():
             raise RuntimeError("Unable to initialize backend 'axon'")
