@@ -1,0 +1,54 @@
+"""Summarize ood_method_comparison JSONL checkpoints into markdown tables.
+
+Usage: python scripts/ood_table.py benchmarks/ood_multiseed_r4.jsonl [...]
+
+Groups rows by (steps, batch, hw, style_group_size) workload, then prints
+one mean+/-std-over-seeds markdown table per workload (the format used in
+docs/VALIDATION.md). Pure numpy — safe to run anywhere, no jax import.
+"""
+
+import json
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+DOMAINS = ["iid", "gamma", "bias", "ghosting", "spike"]
+
+
+def load(paths):
+    groups = defaultdict(lambda: defaultdict(dict))  # wl -> method -> seed
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                wl = (r["steps"], r["batch"], r["hw"],
+                      r.get("style_group_size"))
+                groups[wl][r["method"]][r["seed"]] = r["dice"]
+    return groups
+
+
+def cell(vals):
+    if len(vals) > 1:
+        return f"{np.mean(vals):.3f}±{np.std(vals):.3f}"
+    return f"{np.mean(vals):.4f}"
+
+
+def main(paths):
+    for wl, methods in sorted(load(paths).items()):
+        steps, batch, hw, group = wl
+        print(f"\n### steps={steps} batch={batch} hw={hw} "
+              f"style_group_size={group}")
+        print("| method | seeds | " + " | ".join(DOMAINS) + " | OOD avg |")
+        print("|---|---|" + "---|" * (len(DOMAINS) + 1))
+        for method, per_seed in methods.items():
+            seeds = sorted(per_seed)
+            cells = [cell([per_seed[s][d] for s in seeds]) for d in DOMAINS]
+            ood = cell([np.mean([per_seed[s][d] for d in DOMAINS
+                                 if d != "iid"]) for s in seeds])
+            print(f"| {method} | {','.join(map(str, seeds))} | "
+                  + " | ".join(cells) + f" | **{ood}** |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["benchmarks/ood_cpu_micro_r4.jsonl"])
