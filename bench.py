@@ -50,7 +50,20 @@ def _ensure_backend() -> None:
     known-healthy tunnel. Stdout stays reserved for the JSON result line —
     all diagnostics go to stderr."""
     from maxstyle_tpu.utils.backend import wait_for_backend
-    wait_for_backend(tag="bench")
+    try:
+        wait_for_backend(tag="bench")
+    except RuntimeError:
+        # No CPU fallback here: a throughput number must come from the
+        # real chip or not at all. Surface the most recent captured
+        # measurement as stderr context for whoever reads the artifact.
+        try:
+            with open(HISTORY_PATH) as f:
+                last = f.readlines()[-1].strip()
+            print(f"[bench] last captured measurement: {last}",
+                  file=sys.stderr)
+        except (OSError, IndexError):
+            pass
+        raise
     print(f"[bench] backend={jax.default_backend()} "
           f"devices={len(jax.devices())}", file=sys.stderr)
 

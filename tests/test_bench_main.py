@@ -38,6 +38,28 @@ def test_main_emits_contract_json_and_history(monkeypatch, capsys, tmp_path):
     assert rec["ts"] > 0 and "backend" in rec
 
 
+def test_ensure_backend_reraises_with_history_context(monkeypatch, capsys,
+                                                      tmp_path):
+    """A dead tunnel must still fail the bench (no CPU number), but the
+    stderr should carry the last captured measurement as context."""
+    import pytest
+
+    from maxstyle_tpu.utils import backend as B
+
+    hist = tmp_path / "hist.jsonl"
+    hist.write_text('{"value": 4.17, "ts": 1}\n')
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+
+    def down(**kw):
+        raise RuntimeError("environment failure (TPU tunnel)")
+    monkeypatch.setattr(B, "wait_for_backend", down)
+
+    with pytest.raises(RuntimeError, match="environment failure"):
+        bench._ensure_backend()
+    err = capsys.readouterr().err
+    assert "last captured measurement" in err and "4.17" in err
+
+
 def test_main_survives_missing_anchors_and_history(monkeypatch, capsys):
     monkeypatch.setattr(bench, "ANCHORS_PATH", "/nonexistent/anchors.json")
     monkeypatch.setattr(bench, "HISTORY_PATH", "/nonexistent/dir/h.jsonl")
