@@ -66,6 +66,9 @@ def _ensure_backend() -> None:
         raise
     print(f"[bench] backend={jax.default_backend()} "
           f"devices={len(jax.devices())}", file=sys.stderr)
+    from maxstyle_tpu.utils.backend import enable_persistent_cache
+    print(f"[bench] compilation cache: {enable_persistent_cache()}",
+          file=sys.stderr)
 
 
 def measure_throughput(solver, half_batch: int = 10, pad: int = 224,

@@ -322,6 +322,8 @@ def main(argv=None):
                         help="shard the batch over all devices (SPMD DP)")
     opt = parser.parse_args(argv)
 
+    from maxstyle_tpu.utils.backend import enable_persistent_cache
+    enable_persistent_cache()  # re-runs/resumes load instead of recompiling
     cfg = ExperimentConfig.from_json(opt.json_config_path)
     solver = TripletSegmentationSolver(cfg)
 

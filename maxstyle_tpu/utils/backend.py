@@ -96,3 +96,33 @@ def default_backend(fallback: str = "cpu") -> str:
 
 def on_tpu() -> bool:
     return default_backend() not in ("cpu", "gpu")
+
+
+def enable_persistent_cache() -> str:
+    """Point JAX's persistent compilation cache at a host-appropriate
+    directory (idempotent; returns the directory chosen).
+
+    Later processes then *load* the fused train-step program instead of
+    recompiling it: through the flaky TPU tunnel a cold compile is
+    minutes of exposure, a cache hit is seconds — this protects bench.py
+    re-runs, the resumable OOD sweeps (one compile per method, reused
+    across seeds/retries/flaps) and the driver's round-close run. XLA
+    fingerprints entries by platform/compiler version, but a CPU cache
+    written by a different microarchitecture can still SIGILL at AOT
+    load (observed on this image — tests/conftest.py), so the CPU dir is
+    additionally keyed by the host's cpuinfo flags; accelerator entries
+    live in a shared stable dir."""
+    if default_backend() in ("cpu", "gpu"):
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(ln for ln in f if ln.startswith("flags"))
+        except (OSError, StopIteration):
+            flags = "unknown"
+        d = ("/tmp/jax_cache_cpu_"
+             + hashlib.sha1(flags.encode()).hexdigest()[:10])
+    else:
+        d = "/tmp/jax_cache_tpu"
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return d

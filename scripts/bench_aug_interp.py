@@ -30,8 +30,10 @@ def main(argv=None):
     opt = ap.parse_args(argv)
 
     from maxstyle_tpu.data import augment as A
+    from maxstyle_tpu.utils.backend import enable_persistent_cache
 
     print(f"devices: {jax.devices()}", flush=True)
+    enable_persistent_cache()
     imgs = jnp.clip(0.5 + 0.25 * jax.random.normal(
         jax.random.key(1), (opt.batch, opt.pad, opt.pad)), 0, 1)
     labs = jax.random.randint(jax.random.key(2),

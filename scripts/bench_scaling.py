@@ -35,6 +35,8 @@ def main():
     policy = A.get_policy("ACDC_affine_elastic_intensity", (pad, pad),
                           (crop, crop))
     print(json.dumps({"backend": jax.default_backend()}))
+    from maxstyle_tpu.utils.backend import enable_persistent_cache
+    enable_persistent_cache()
 
     for eff_batch in (20, 40, 80, 160):
         half = eff_batch // 2

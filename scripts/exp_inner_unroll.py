@@ -34,6 +34,8 @@ def main(argv=None):
     from bench import measure_throughput
 
     print(f"devices: {jax.devices()}", flush=True)
+    from maxstyle_tpu.utils.backend import enable_persistent_cache
+    enable_persistent_cache()
     for unroll in [int(u) for u in opt.unrolls.split(",")]:
         # THE flagship workload, varied only in unroll — never a copy of
         # the config (drift between bench.py and this experiment would

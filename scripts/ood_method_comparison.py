@@ -159,6 +159,8 @@ def main(argv=None):
                     done[(rec["method"], rec["seed"])] = rec["dice"]
 
     print(f"devices: {jax.devices()}")
+    from maxstyle_tpu.utils.backend import enable_persistent_cache
+    print(f"compilation cache: {enable_persistent_cache()}", flush=True)
     table = {}  # method -> seed -> {domain: dice}
     for method in methods:
         table[method] = {}

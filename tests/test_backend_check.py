@@ -81,3 +81,24 @@ class TestTunnelHardening:
         monkeypatch.setattr(B.jax, "default_backend", boom)
         assert B.default_backend() == "cpu"
         assert not B.on_tpu()
+
+
+class TestPersistentCache:
+    def test_cpu_dir_is_microarch_keyed_and_set(self):
+        """On a CPU backend the cache dir must carry the cpuinfo
+        fingerprint (a foreign-host AOT entry can SIGILL), must match the
+        conftest's dir (one cache per host, not two), and must land in
+        the live jax config."""
+        d = B.enable_persistent_cache()
+        assert d.startswith("/tmp/jax_cache_cpu_") and len(d.split("_")[-1]) == 10
+        import os
+        assert d == os.environ["JAX_COMPILATION_CACHE_DIR"]  # conftest's
+        assert jax.config.jax_compilation_cache_dir == d
+
+    def test_tpu_backend_gets_shared_dir(self, monkeypatch):
+        monkeypatch.setattr(B, "default_backend", lambda: "tpu")
+        sets = {}
+        monkeypatch.setattr(B.jax.config, "update",
+                            lambda k, v: sets.__setitem__(k, v))
+        assert B.enable_persistent_cache() == "/tmp/jax_cache_tpu"
+        assert sets["jax_compilation_cache_dir"] == "/tmp/jax_cache_tpu"
