@@ -35,7 +35,12 @@ def cell(vals):
 
 
 def main(paths):
-    for wl, methods in sorted(load(paths).items()):
+    # style_group_size is None for ungrouped arms; map it to -1 for the
+    # sort so a file mixing grouped and ungrouped workloads (the b80
+    # fidelity sweep) doesn't raise int-vs-None TypeError.
+    for wl, methods in sorted(load(paths).items(),
+                              key=lambda kv: kv[0][:3] + (
+                                  -1 if kv[0][3] is None else kv[0][3],)):
         steps, batch, hw, group = wl
         print(f"\n### steps={steps} batch={batch} hw={hw} "
               f"style_group_size={group}")
