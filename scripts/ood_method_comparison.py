@@ -186,6 +186,7 @@ def main(argv=None):
                         "method": method, "seed": seed, "steps": opt.steps,
                         "batch": opt.batch, "hw": opt.hw,
                         "style_group_size": opt.style_group_size,
+                        "platform": jax.default_backend(),
                         "dice": res, "final_loss": loss,
                         "train_s": secs}) + "\n")
 
