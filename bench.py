@@ -115,11 +115,19 @@ def measure_throughput(solver, half_batch: int = 10, pad: int = 224,
 
 
 def main():
-    _ensure_backend()
-    from __graft_entry__ import _flagship_solver
+    from maxstyle_tpu.utils.tpulock import chip_lock
 
-    solver = _flagship_solver(hw=192, batch=20, max_style=True)
-    steps_per_sec = measure_throughput(solver)
+    # Serialize against this repo's own sweeps (round-4 lesson: BENCH_r04
+    # measured 3.452 steps/s because the OOD campaign was mid-sweep on the
+    # same chip; the uncontended number was 4.245). bench holds priority:
+    # cooperating sweeps pause at their next arm boundary while we wait.
+    with chip_lock("bench", timeout_s=2700.0, bench_priority=True) as lock:
+        _ensure_backend()
+        from __graft_entry__ import _flagship_solver
+
+        load1, load5, _ = os.getloadavg()
+        solver = _flagship_solver(hw=192, batch=20, max_style=True)
+        steps_per_sec = measure_throughput(solver)
 
     vs_baseline = None
     try:
@@ -137,6 +145,11 @@ def main():
                  "vs_baseline = x over the reference's own code measured "
                  "same-host (torch CPU, benchmarks/anchors.json)"),
         "vs_baseline": vs_baseline,
+        # measurement context: was the chip/host contended? (round-4 lesson)
+        "chip_lock": {"acquired": lock["acquired"],
+                      "waited_s": lock["waited_s"],
+                      "contended": lock["contended"]},
+        "loadavg_at_start": [round(load1, 2), round(load5, 2)],
     }
     print(json.dumps(result))
     try:  # provenance: every successful measurement, timestamped

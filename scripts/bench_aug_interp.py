@@ -31,38 +31,42 @@ def main(argv=None):
 
     from maxstyle_tpu.data import augment as A
     from maxstyle_tpu.utils.backend import enable_persistent_cache
+    from maxstyle_tpu.utils.tpulock import chip_lock, yield_to_bench
 
     print(f"devices: {jax.devices()}", flush=True)
     enable_persistent_cache()
+    yield_to_bench()
     imgs = jnp.clip(0.5 + 0.25 * jax.random.normal(
         jax.random.key(1), (opt.batch, opt.pad, opt.pad)), 0, 1)
     labs = jax.random.randint(jax.random.key(2),
                               (opt.batch, opt.pad, opt.pad), 0, 4)
 
-    for interp in ("bilinear", "cubic"):
-        pol = A.get_policy("ACDC_affine_elastic_intensity",
-                           (opt.pad, opt.pad), (opt.crop, opt.crop),
-                           image_interp=interp)
+    with chip_lock("bench_aug_interp"):
+        for interp in ("bilinear", "cubic"):
+            pol = A.get_policy("ACDC_affine_elastic_intensity",
+                               (opt.pad, opt.pad), (opt.crop, opt.crop),
+                               image_interp=interp)
 
-        @jax.jit
-        def many(key, imgs, labs, _pol=pol):
-            def body(carry, k):
-                img, lab = A.augment_batch_inner(k, imgs, labs, _pol)
-                # keep the chain live (XLA must not DCE the iterations)
-                return carry + jnp.float32(1e-20) * img.sum(), None
-            keys = jax.random.split(key, opt.iters)
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
-            return acc
+            @jax.jit
+            def many(key, imgs, labs, _pol=pol):
+                def body(carry, k):
+                    img, lab = A.augment_batch_inner(k, imgs, labs, _pol)
+                    # keep the chain live (XLA must not DCE the iterations)
+                    return carry + jnp.float32(1e-20) * img.sum(), None
+                keys = jax.random.split(key, opt.iters)
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+                return acc
 
-        acc = many(jax.random.key(0), imgs, labs)
-        float(jax.device_get(acc))  # compile + barrier
-        t0 = time.perf_counter()
-        acc = many(jax.random.key(3), imgs, labs)
-        float(jax.device_get(acc))
-        dt = time.perf_counter() - t0
-        per_batch_ms = dt / opt.iters * 1e3
-        print(f"{interp}: {per_batch_ms:.3f} ms / {opt.batch}-slice batch "
-              f"({opt.batch / (dt / opt.iters):.0f} slices/s)", flush=True)
+            acc = many(jax.random.key(0), imgs, labs)
+            float(jax.device_get(acc))  # compile + barrier
+            t0 = time.perf_counter()
+            acc = many(jax.random.key(3), imgs, labs)
+            float(jax.device_get(acc))
+            dt = time.perf_counter() - t0
+            per_batch_ms = dt / opt.iters * 1e3
+            print(f"{interp}: {per_batch_ms:.3f} ms / {opt.batch}-slice "
+                  f"batch ({opt.batch / (dt / opt.iters):.0f} slices/s)",
+                  flush=True)
 
 
 if __name__ == "__main__":

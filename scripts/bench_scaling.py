@@ -78,4 +78,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from maxstyle_tpu.utils.tpulock import chip_lock, yield_to_bench
+
+    yield_to_bench()  # let a waiting official bench go first
+    with chip_lock("bench_scaling"):
+        main()

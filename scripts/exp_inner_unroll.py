@@ -35,15 +35,18 @@ def main(argv=None):
 
     print(f"devices: {jax.devices()}", flush=True)
     from maxstyle_tpu.utils.backend import enable_persistent_cache
+    from maxstyle_tpu.utils.tpulock import chip_lock, yield_to_bench
     enable_persistent_cache()
-    for unroll in [int(u) for u in opt.unrolls.split(",")]:
-        # THE flagship workload, varied only in unroll — never a copy of
-        # the config (drift between bench.py and this experiment would
-        # silently invalidate the A/B)
-        solver = _flagship_solver(hw=192, batch=20, max_style=True,
-                                  inner_unroll=unroll)
-        rate = measure_throughput(solver, n_repeats=opt.repeats)
-        print(f"inner_unroll={unroll}: {rate:.3f} steps/s", flush=True)
+    yield_to_bench()
+    with chip_lock("exp_inner_unroll"):
+        for unroll in [int(u) for u in opt.unrolls.split(",")]:
+            # THE flagship workload, varied only in unroll — never a copy
+            # of the config (drift between bench.py and this experiment
+            # would silently invalidate the A/B)
+            solver = _flagship_solver(hw=192, batch=20, max_style=True,
+                                      inner_unroll=unroll)
+            rate = measure_throughput(solver, n_repeats=opt.repeats)
+            print(f"inner_unroll={unroll}: {rate:.3f} steps/s", flush=True)
 
 
 if __name__ == "__main__":

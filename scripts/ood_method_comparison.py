@@ -51,12 +51,25 @@ from maxstyle_tpu.train_step import make_train_step  # noqa: E402
 
 
 def corrupt(kind: str, imgs: np.ndarray, rng: np.random.RandomState):
-    """[N,H,W,1] -> corrupted copy; per-volume k-space artefacts."""
+    """[N,H,W,1] -> corrupted copy; per-volume k-space artefacts.
+
+    Gamma variants for the eval-artifact probe (round-4 verdict: adv_bias's
+    gamma column collapsed to 0.003 — artifact or method behavior?):
+      gamma       — x**2.2 then per-slice min-max re-norm (canonical column)
+      gamma{X}    — x**X   then re-norm, e.g. gamma1.5 / gamma3.0
+      gamma_raw   — x**2.2 WITHOUT the re-norm (x in [0,1] stays in [0,1];
+                    isolates whether the re-norm stretch, not the gamma
+                    curve itself, pushes inputs off the trained manifold)
+    """
     x = imgs[..., 0]
     if kind == "iid":
         return imgs
-    if kind == "gamma":
+    if kind == "gamma_raw":
         out = np.clip(x, 0, 1) ** 2.2
+        return out.astype(np.float32)[..., None]
+    if kind.startswith("gamma"):
+        out = np.clip(x, 0, 1) ** (2.2 if kind == "gamma"
+                                   else float(kind[5:]))
     elif kind == "bias":
         out = artefacts.random_bias_field(x, rng)
     elif kind == "ghosting":
@@ -140,8 +153,16 @@ def main(argv=None):
                          "(method, seed); skip cells already present")
     ap.add_argument("--methods", type=str,
                     default="standard,max_style")
+    ap.add_argument("--domains", type=str,
+                    default="iid,gamma,bias,ghosting,spike",
+                    help="eval domains; gamma1.5/gamma3.0/gamma_raw probe "
+                         "the gamma-column eval artifact")
+    ap.add_argument("--stop_file", type=str,
+                    default="/tmp/maxstyle_campaign_stop",
+                    help="if this path exists, exit cleanly before the "
+                         "next arm (bounds a background campaign)")
     opt = ap.parse_args(argv)
-    domains = ["iid", "gamma", "bias", "ghosting", "spike"]
+    domains = opt.domains.split(",")
     seeds = ([int(s) for s in opt.seeds.split(",")] if opt.seeds
              else [opt.seed])
     methods = opt.methods.split(",")
@@ -160,8 +181,10 @@ def main(argv=None):
 
     print(f"devices: {jax.devices()}")
     from maxstyle_tpu.utils.backend import enable_persistent_cache
+    from maxstyle_tpu.utils.tpulock import chip_lock, yield_to_bench
     print(f"compilation cache: {enable_persistent_cache()}", flush=True)
     table = {}  # method -> seed -> {domain: dice}
+    stopped = False
     for method in methods:
         table[method] = {}
         for seed in seeds:
@@ -170,12 +193,19 @@ def main(argv=None):
                 print(f"== {method} seed {seed}: cached from {opt.out}",
                       flush=True)
                 continue
+            if opt.stop_file and os.path.exists(opt.stop_file):
+                print(f"== stop file {opt.stop_file} present — exiting "
+                      f"before {method} seed {seed}", flush=True)
+                stopped = True
+                break
+            yield_to_bench()  # let a waiting official bench go first
             print(f"== training {method} seed {seed} ({opt.steps} steps, "
                   f"batch {opt.batch}, group {opt.style_group_size})",
                   flush=True)
-            res, loss, secs = train_and_eval(
-                method, opt.steps, opt.hw, opt.batch, seed, domains,
-                opt.style_group_size)
+            with chip_lock(f"ood:{method}:s{seed}"):
+                res, loss, secs = train_and_eval(
+                    method, opt.steps, opt.hw, opt.batch, seed, domains,
+                    opt.style_group_size)
             table[method][seed] = res
             row = "  ".join(f"{k}={v:.4f}" for k, v in res.items())
             print(f"  {method} s{seed}: {row}  (final loss {loss:.3f}, "
@@ -189,6 +219,8 @@ def main(argv=None):
                         "platform": jax.default_backend(),
                         "dice": res, "final_loss": loss,
                         "train_s": secs}) + "\n")
+        if stopped:
+            break
 
     print("\nOOD Dice summary (mean over foreground classes"
           + (f", mean+/-std over seeds {seeds}" if len(seeds) > 1 else "")
@@ -197,15 +229,18 @@ def main(argv=None):
            + "".join(d.rjust(16) for d in domains) + "         OOD avg")
     print(hdr)
     for method, per_seed in table.items():
+        have = [s for s in seeds if s in per_seed]  # stop file may truncate
+        if not have:
+            continue
         cells = []
         for d in domains:
-            vals = [per_seed[s][d] for s in seeds]
+            vals = [per_seed[s][d] for s in have]
             cells.append(f"{np.mean(vals):.3f}+/-{np.std(vals):.3f}"
-                         if len(seeds) > 1 else f"{np.mean(vals):.4f}")
+                         if len(have) > 1 else f"{np.mean(vals):.4f}")
         ood_per_seed = [np.mean([per_seed[s][d] for d in domains
-                                 if d != "iid"]) for s in seeds]
+                                 if d != "iid"]) for s in have]
         ood = (f"{np.mean(ood_per_seed):.3f}+/-{np.std(ood_per_seed):.3f}"
-               if len(seeds) > 1 else f"{np.mean(ood_per_seed):.4f}")
+               if len(have) > 1 else f"{np.mean(ood_per_seed):.4f}")
         print(method.ljust(14) + "".join(c.rjust(16) for c in cells)
               + ood.rjust(17))
 
