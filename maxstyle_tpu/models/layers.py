@@ -53,6 +53,15 @@ def lrelu(x):
     return nn.leaky_relu(x, negative_slope=LRELU_SLOPE)
 
 
+# Perf-experiment knob (scripts/exp_bn_residual.py ONLY — never set in
+# production or tests): "torch" = shipped semantics (Bessel-corrected
+# running update); "biased" = running update without the n/(n-1) factor;
+# "off" = no running update at all. Read at TRACE time — change it before
+# building/jitting a model. Exists to MEASURE the throughput attribution
+# that docs/ROUND4_RESPONSE.md §2 could previously only hypothesize.
+_BN_UPDATE_MODE = "torch"
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch.nn.BatchNorm2d running-stat semantics.
 
@@ -109,12 +118,14 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=red)
             var = jnp.maximum(
                 jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean), 0.0)
-            if not self.is_initializing():
+            if not self.is_initializing() and _BN_UPDATE_MODE != "off":
                 n = x.size // feat
                 m = self.momentum
+                bessel = (n / max(n - 1, 1)
+                          if _BN_UPDATE_MODE == "torch" else 1.0)
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = (m * ra_var.value
-                                + (1.0 - m) * var * (n / max(n - 1, 1)))
+                                + (1.0 - m) * var * bessel)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)

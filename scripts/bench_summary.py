@@ -32,10 +32,19 @@ def load_rows(path=HISTORY):
     return rows
 
 
+# The one pre-lock row known (from campaign logs) to have been measured
+# while the round-4 OOD sweep was mid-arm on the same chip — the very
+# incident the lock exists to prevent. Identified by timestamp.
+KNOWN_CONTENDED_TS = {1787104564}
+
+
 def is_contended(row):
     """Pre-lock rows (round <=4) carry no chip_lock field; they are
     treated as uncontended only if nothing marked them otherwise — the
-    two round-4 builder runs were verified idle-host by hand."""
+    two round-4 builder runs were verified idle-host by hand, and the
+    one known-contended row is denylisted by timestamp above."""
+    if int(row.get("ts", 0)) in KNOWN_CONTENDED_TS:
+        return True
     lock = row.get("chip_lock")
     if lock is not None and (lock.get("contended") or
                              not lock.get("acquired", True)):

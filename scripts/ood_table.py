@@ -13,7 +13,22 @@ from collections import defaultdict
 
 import numpy as np
 
+# canonical column order; files with other eval domains (e.g. the round-5
+# gamma probe's gamma1.5/gamma3.0/gamma_raw) fall back to their rows' own
+# key order
 DOMAINS = ["iid", "gamma", "bias", "ghosting", "spike"]
+
+
+def _domains_for(methods):
+    """Column set for one workload: canonical if it matches, else the
+    union of the rows' dice keys in first-seen order."""
+    seen = []
+    for per_seed in methods.values():
+        for dice in per_seed.values():
+            for k in dice:
+                if k not in seen:
+                    seen.append(k)
+    return DOMAINS if set(seen) == set(DOMAINS) else seen
 
 
 def load(paths):
@@ -42,14 +57,15 @@ def main(paths):
                               key=lambda kv: kv[0][:3] + (
                                   -1 if kv[0][3] is None else kv[0][3],)):
         steps, batch, hw, group = wl
+        domains = _domains_for(methods)
         print(f"\n### steps={steps} batch={batch} hw={hw} "
               f"style_group_size={group}")
-        print("| method | seeds | " + " | ".join(DOMAINS) + " | OOD avg |")
-        print("|---|---|" + "---|" * (len(DOMAINS) + 1))
+        print("| method | seeds | " + " | ".join(domains) + " | OOD avg |")
+        print("|---|---|" + "---|" * (len(domains) + 1))
         for method, per_seed in methods.items():
             seeds = sorted(per_seed)
-            cells = [cell([per_seed[s][d] for s in seeds]) for d in DOMAINS]
-            ood = cell([np.mean([per_seed[s][d] for d in DOMAINS
+            cells = [cell([per_seed[s][d] for s in seeds]) for d in domains]
+            ood = cell([np.mean([per_seed[s][d] for d in domains
                                  if d != "iid"]) for s in seeds])
             print(f"| {method} | {','.join(map(str, seeds))} | "
                   + " | ".join(cells) + f" | **{ood}** |")

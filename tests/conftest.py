@@ -33,6 +33,13 @@ def _cpu_cache_dir():
 
 os.environ["JAX_COMPILATION_CACHE_DIR"] = _cpu_cache_dir()
 
+# tests must never contend for (or block on) the REAL chip's advisory
+# lock — a background TPU campaign may hold it for many minutes
+# (utils/tpulock.py reads these at import time)
+os.environ.setdefault("MAXSTYLE_TPU_LOCK", "/tmp/maxstyle_test_chip.lock")
+os.environ.setdefault("MAXSTYLE_TPU_BENCH_FLAG",
+                      "/tmp/maxstyle_test_bench.flag")
+
 import jax  # noqa: E402
 
 # belt-and-braces: some import path may have loaded jax before this conftest
