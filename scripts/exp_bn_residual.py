@@ -41,9 +41,14 @@ def main(argv=None):
     from __graft_entry__ import _flagship_solver
     from bench import measure_throughput
     from maxstyle_tpu.models import layers
-    from maxstyle_tpu.utils.backend import enable_persistent_cache
+    from maxstyle_tpu.utils.backend import (enable_persistent_cache,
+                                            wait_for_backend)
     from maxstyle_tpu.utils.tpulock import chip_lock, yield_to_bench
 
+    # The tunnel can hang *inside* jax.devices() with no exception (seen
+    # again 2026-08-19 09:04 — this script sat blocked for 7 min). Probe
+    # in a bounded subprocess first so a down tunnel is a loud RuntimeError.
+    wait_for_backend(tag="exp_bn_residual")
     print(f"devices: {jax.devices()}", flush=True)
     enable_persistent_cache()
     yield_to_bench()
